@@ -1,0 +1,20 @@
+# -*- coding: utf-8 -*-
+"""Test config: run JAX on a virtual 8-device CPU mesh so sharding paths are testable.
+
+Must set env vars before jax initializes (any jax import in a test module
+happens after this file loads).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)

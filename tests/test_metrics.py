@@ -1,0 +1,97 @@
+# -*- coding: utf-8 -*-
+"""Metric exactness tests (parity with reference metric semantics)."""
+import numpy as np
+import pytest
+
+from climsr_tpu.metrics import (
+    compute_metric_suite,
+    mae,
+    mape,
+    mse,
+    psnr,
+    r2_score,
+    regression_accuracy,
+    rmse,
+    smape,
+    ssim,
+)
+
+
+# --- regression accuracy: exact cases mirroring the reference's pytest-cases table
+@pytest.mark.parametrize(
+    "eps,preds,target,expected",
+    [
+        (1.0, [0.0, 0.5, 1.0], [1.0, 1.5, 2.0], 1.0),
+        (0.5, [0.0, 0.5, 1.0], [1.0, 1.5, 2.0], 0.0),
+        (1.0, [0.0, 0.0], [0.5, 5.0], 0.5),
+        (0.1, [1.0], [1.05], 1.0),
+    ],
+)
+def test_regression_accuracy_exact(eps, preds, target, expected):
+    got = regression_accuracy(np.array(preds, np.float32), np.array(target, np.float32), eps=eps)
+    np.testing.assert_allclose(float(got), expected)
+
+
+def test_basic_regression_metrics(rng):
+    p = rng.normal(size=(256,)).astype(np.float32)
+    t = rng.normal(size=(256,)).astype(np.float32)
+    np.testing.assert_allclose(float(mse(p, t)), np.mean((p - t) ** 2), rtol=1e-5)
+    np.testing.assert_allclose(float(rmse(p, t)), np.sqrt(np.mean((p - t) ** 2)), rtol=1e-5)
+    np.testing.assert_allclose(float(mae(p, t)), np.mean(np.abs(p - t)), rtol=1e-5)
+
+
+def test_mape_smape_formulas():
+    p = np.array([110.0, 90.0], np.float32)
+    t = np.array([100.0, 100.0], np.float32)
+    np.testing.assert_allclose(float(mape(p, t)), 0.1, rtol=1e-5)
+    want_smape = np.mean([2 * 10 / 210, 2 * 10 / 190])
+    np.testing.assert_allclose(float(smape(p, t)), want_smape, rtol=1e-5)
+
+
+def test_r2_perfect_and_mean_predictor(rng):
+    t = rng.normal(size=(100,)).astype(np.float32)
+    np.testing.assert_allclose(float(r2_score(t, t)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(r2_score(np.full_like(t, t.mean()), t)), 0.0, atol=1e-5)
+
+
+def test_psnr_known_value():
+    # MSE = 0.01, data_range = 1 -> PSNR = 20 dB
+    t = np.zeros((10, 10), np.float32)
+    t[0, 0] = 1.0  # gives data_range 1
+    p = t + 0.1
+    np.testing.assert_allclose(float(psnr(p, t)), 10 * np.log10(1.0 / 0.01), rtol=1e-4)
+
+
+def test_ssim_identity_and_noise(rng):
+    x = rng.uniform(size=(2, 32, 32, 1)).astype(np.float32)
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+    y = np.clip(x + rng.normal(0, 0.5, x.shape).astype(np.float32), 0, 1)
+    assert float(ssim(y, x)) < 0.9
+
+
+def test_ssim_matches_reference_formula_flat_images():
+    # constant images: ssim = (2*mu1*mu2+c1)/(mu1^2+mu2^2+c1) with sigma terms = c2/c2
+    a = np.full((1, 16, 16, 1), 0.25, np.float32)
+    b = np.full((1, 16, 16, 1), 0.75, np.float32)
+    dr = 0.5  # max(range(a), range(b)) both 0 -> falls back? use explicit
+    got = float(ssim(a, b, data_range=dr))
+    c1 = (0.01 * dr) ** 2
+    want = (2 * 0.25 * 0.75 + c1) / (0.25**2 + 0.75**2 + c1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_metric_suite_routing_and_keys(rng):
+    shape = (2, 32, 32, 1)
+    nsr = rng.uniform(-1, 1, shape).astype(np.float32)
+    nhr = rng.uniform(-1, 1, shape).astype(np.float32)
+    dsr = nsr * 30.0
+    dhr = nhr * 30.0
+    out = compute_metric_suite(nsr, nhr, dsr, dhr, mode="val")
+    keys = set(out.keys())
+    assert "val/acc@01.25" in keys  # reference's typo'd label kept
+    assert {"val/psnr", "val/ssim", "val/mae", "val/mse", "val/rmse", "val/mape", "val/smape", "val/r2"} <= keys
+    assert len(keys) == 16
+    # rmse on denormalized = 30x the normalized rmse
+    np.testing.assert_allclose(float(out["val/rmse"]), float(rmse(dsr, dhr)), rtol=1e-5)
+    # mape routed to normalized inputs
+    np.testing.assert_allclose(float(out["val/mape"]), float(mape(nsr, nhr)), rtol=1e-5)
