@@ -1,0 +1,160 @@
+# -*- coding: utf-8 -*-
+"""Shared building blocks for the model zoo (NHWC, bf16-friendly).
+
+Conventions:
+
+- All modules take/produce NHWC; compute dtype is a module arg (``dtype``),
+  params stay float32 (``param_dtype``) — the standard TPU mixed-precision
+  policy (bf16 activations through the MXU, f32 master weights).
+- ``TorchConv`` reproduces ``torch.nn.Conv2d`` defaults: explicit symmetric
+  padding k//2 and kaiming-uniform(a=sqrt(5)) init == U(±1/sqrt(fan_in)) for
+  both kernel and bias, so training dynamics match the reference models
+  (which rely on torch default init, e.g. ``climsr/models/esrgan.py:22-27``).
+- ``kaiming_scaled_init`` reproduces the RFB-ESRGAN ``kaiming_normal_`` then
+  ``*= 0.1`` residual-friendly init (``climsr/models/rfb_esrgan.py:262-267``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-b, b) with b = 1/sqrt(fan_in); flax HWIO kernel shape (kh, kw, in, out)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_scaled_init(scale: float = 0.1):
+    """torch ``kaiming_normal_`` (fan_in, relu gain) scaled by ``scale``."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2]
+        std = math.sqrt(2.0 / fan_in)
+        return jax.random.normal(key, shape, dtype) * (std * scale)
+
+    return init
+
+
+class TorchConv(nn.Module):
+    """Conv2d with torch-default init and explicit k//2 ('same'-style) padding."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: int = 1
+    padding: Optional[Union[int, Tuple[int, int]]] = None  # default: k//2 per dim
+    dilation: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_init: Optional[Callable] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size, self.kernel_size)
+        if self.padding is None:
+            pad: Sequence[Tuple[int, int]] = [(k // 2 * self.dilation, k // 2 * self.dilation) for k in ks]
+        elif isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = [(p, p) for p in self.padding]
+        in_features = x.shape[-1]
+        fan_in = ks[0] * ks[1] * (in_features // self.feature_group_count)
+        kernel_init = self.kernel_init or torch_conv_kernel_init
+        return nn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=(self.strides, self.strides),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class TorchDense(nn.Module):
+    """Linear with torch-default init."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
+
+        def kinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=kinit,
+            bias_init=kinit,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """NHWC global average pool to (N, 1, 1, C) — AdaptiveAvgPool2d(1) analogue."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """General torch ``AdaptiveAvgPool2d`` for NHWC.
+
+    output[i] = mean(input[floor(i*H/oh) : ceil((i+1)*H/oh)]) per dim. For
+    upsampling targets (oh > H, used by RFBESRGANDiscriminator 8x8 -> 14x14,
+    reference ``rfb_esrgan.py:54``) windows of size 1 duplicate rows — torch
+    does the same.
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    if oh == 1 and ow == 1:
+        return global_avg_pool(x)
+
+    def pool_axis(arr, axis, in_size, out_size):
+        starts = [int(math.floor(i * in_size / out_size)) for i in range(out_size)]
+        ends = [int(math.ceil((i + 1) * in_size / out_size)) for i in range(out_size)]
+        slices = [
+            jnp.mean(jax.lax.slice_in_dim(arr, s, e, axis=axis), axis=axis, keepdims=True)
+            for s, e in zip(starts, ends)
+        ]
+        return jnp.concatenate(slices, axis=axis)
+
+    x = pool_axis(x, 1, h, oh)
+    x = pool_axis(x, 2, w, ow)
+    return x
+
+
+def reflect_pad_2d(x: jax.Array, pad: int = 1) -> jax.Array:
+    """ReflectionPad2d for NHWC."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")

@@ -1,0 +1,96 @@
+# -*- coding: utf-8 -*-
+"""Config composition tests: defaults list, experiment presets, overrides, interpolation."""
+from pathlib import Path
+
+import pytest
+
+from climsr_tpu.config.compose import ConfigError, compose, default_config_dir
+from climsr_tpu.config.schemas import (
+    GeneratorConfig,
+    SuperResolutionDataConfig,
+    TrainerConfig,
+    from_dict,
+    infer_generator_config,
+)
+
+CONF = default_config_dir()
+
+
+def test_default_config_dir_exists():
+    assert (CONF / "config.yaml").exists()
+
+
+def test_mandatory_experiment_group():
+    with pytest.raises(ConfigError, match="mandatory"):
+        compose(CONF, overrides=["generator=esrgan"])
+
+
+def test_compose_esrgan_pre_training():
+    cfg = compose(CONF, overrides=["experiment=esrgan_pre_training"])
+    assert cfg["generator"]["name"] == "esrgan"
+    assert cfg["generator"]["nb"] == 11 and cfg["generator"]["gc"] == 16
+    assert cfg["task"]["name"] == "generator_pre_training"
+    assert cfg["training"]["batch_size"] == 192
+    assert cfg["trainer"]["max_epochs"] == 30
+    # interpolation: optimizer lr <- training.lr
+    assert cfg["optimizers"]["generator_optimizer"]["lr"] == cfg["training"]["lr"] == 1e-4
+    # datamodule picks up batch size through interpolation
+    assert cfg["datamodule"]["cfg"]["batch_size"] == 192
+    assert cfg["datamodule"]["cfg"]["normalization_method"] == "minmax"
+
+
+def test_compose_gan_experiment():
+    cfg = compose(CONF, overrides=["experiment=esrgan_fine_tune_no_gan_pre_training"])
+    assert cfg["task"]["name"] == "gan_training"
+    assert cfg["task"]["adversarial_loss_factor"] == 0.005
+    assert cfg["discriminator"]["name"] == "rfb_esrgan"
+    assert cfg["optimizers"]["discriminator_optimizer"]["name"] == "adamw"
+    assert cfg["datamodule"]["cfg"]["europe_extent"] is True
+
+
+def test_cli_value_overrides_and_group_switch():
+    cfg = compose(
+        CONF,
+        overrides=[
+            "experiment=srcnn_pre_training",
+            "training.batch_size=8",
+            "trainer.max_epochs=1",
+            "datamodule.cfg.data_path=/tmp/x",
+        ],
+    )
+    assert cfg["training"]["batch_size"] == 8
+    assert cfg["datamodule"]["cfg"]["batch_size"] == 8  # interpolation rerun
+    assert cfg["trainer"]["max_epochs"] == 1
+    assert cfg["datamodule"]["cfg"]["data_path"] == "/tmp/x"
+    assert cfg["generator"]["name"] == "srcnn"
+
+
+def test_all_experiments_compose():
+    for exp in sorted((CONF / "experiment").glob("*.yaml")):
+        cfg = compose(CONF, overrides=[f"experiment={exp.stem}"])
+        assert cfg["generator"]["name"] in {"srcnn", "esrgan", "rcan", "drln", "rfb_esrgan"}, exp
+
+
+def test_typed_schema_roundtrip():
+    cfg = compose(CONF, overrides=["experiment=rcan_pre_training"])
+    data_cfg = from_dict(SuperResolutionDataConfig, cfg["datamodule"]["cfg"])
+    assert data_cfg.generator_type == "rcan"
+    assert data_cfg.transforms.v_flip is True
+    trainer_cfg = from_dict(TrainerConfig, cfg["trainer"])
+    assert trainer_cfg.precision == "bf16"
+    gen_cfg = from_dict(GeneratorConfig, cfg["generator"])
+    assert gen_cfg.n_resgroups == 10
+
+
+def test_infer_generator_config_channel_arithmetic():
+    data_cfg = SuperResolutionDataConfig(use_elevation=False, use_mask=True)
+    gen = infer_generator_config(GeneratorConfig(name="esrgan"), data_cfg)
+    assert gen.in_channels == 2
+    data_cfg = SuperResolutionDataConfig(use_elevation=False, use_mask=False)
+    assert infer_generator_config(GeneratorConfig(name="esrgan"), data_cfg).in_channels == 1
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("CLIMSR_TEST_TOKEN", "sekrit")
+    cfg = compose(CONF, overrides=["experiment=srcnn_pre_training", "logger.token=${env:CLIMSR_TEST_TOKEN}"])
+    assert cfg["logger"]["token"] == "sekrit"
