@@ -1,0 +1,90 @@
+# -*- coding: utf-8 -*-
+"""GeoTIFF / NetCDF codec round-trip tests."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from climsr_tpu.io.geotiff import GeoProfile, read_geotiff, read_raster, write_geotiff
+from climsr_tpu.io.netcdf import ClimateSeries, read_climate_series, write_climate_series
+
+
+def test_geotiff_float32_roundtrip(tmp_path, rng):
+    arr = rng.normal(size=(64, 48)).astype(np.float32)
+    arr[0, 0] = np.nan
+    fp = tmp_path / "t.tif"
+    write_geotiff(fp, arr, GeoProfile.global_grid(64, 48))
+    back, profile = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)
+    assert profile.width == 48 and profile.height == 64
+    assert profile.origin_x == -180.0 and profile.origin_y == 90.0
+    assert np.isnan(profile.nodata)
+
+
+def test_geotiff_readable_by_pil(tmp_path, rng):
+    # interop check: PIL (another TIFF reader) decodes our output identically
+    arr = rng.normal(size=(32, 32)).astype(np.float32)
+    fp = tmp_path / "t.tif"
+    write_geotiff(fp, arr)
+    with Image.open(fp) as img:
+        via_pil = np.array(img)
+    np.testing.assert_array_equal(via_pil, arr)
+
+
+def test_geotiff_reads_pil_written(tmp_path, rng):
+    # and we decode PIL-written float32 TIFFs
+    arr = rng.normal(size=(20, 30)).astype(np.float32)
+    fp = tmp_path / "pil.tif"
+    Image.fromarray(arr).save(fp)
+    back = read_raster(fp)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_geotiff_uint8(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(16, 16)).astype(np.uint8)
+    fp = tmp_path / "u8.tif"
+    write_geotiff(fp, arr, GeoProfile(width=16, height=16, nodata=None))
+    back = read_raster(fp)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_geotiff_geo_profile_custom(tmp_path):
+    arr = np.zeros((10, 20), np.float32)
+    p = GeoProfile(width=20, height=10, origin_x=-16.0, origin_y=84.5, pixel_size_x=0.125, pixel_size_y=0.125, nodata=-9.0)
+    fp = tmp_path / "eu.tif"
+    write_geotiff(fp, arr, p)
+    _, back = read_geotiff(fp)
+    assert back.origin_x == -16.0 and back.origin_y == 84.5
+    assert back.pixel_size_x == 0.125
+    assert back.nodata == -9.0
+
+
+def test_netcdf_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(4, 36, 72)).astype(np.float32)
+    data[0, 0, 0] = np.nan
+    time = np.array(["1901-01-16", "1901-02-16", "1901-03-16", "1901-04-16"], dtype="datetime64[D]")
+    lat = np.linspace(-89.75, 89.75, 36)
+    lon = np.linspace(-179.75, 179.75, 72)
+    series = ClimateSeries(variable="tmp", data=data, time=time, lat=lat, lon=lon)
+    fp = tmp_path / "x.nc"
+    write_climate_series(fp, series, title="CRU TS4.05 Average Temperature")
+    back = read_climate_series(fp, "tmp")
+    assert back.data.shape == data.shape
+    assert np.isnan(back.data[0, 0, 0])
+    valid = ~np.isnan(data)
+    np.testing.assert_allclose(back.data[valid], data[valid], rtol=1e-6)
+    np.testing.assert_array_equal(back.time, time)
+    np.testing.assert_allclose(back.lat, lat)
+
+
+def test_netcdf_bad_variable(tmp_path, rng):
+    series = ClimateSeries(
+        variable="pre",
+        data=rng.normal(size=(1, 4, 4)).astype(np.float32),
+        time=np.array(["2000-01-01"], dtype="datetime64[D]"),
+        lat=np.arange(4.0),
+        lon=np.arange(4.0),
+    )
+    fp = tmp_path / "p.nc"
+    write_climate_series(fp, series)
+    with pytest.raises(KeyError):
+        read_climate_series(fp, "tmp")
