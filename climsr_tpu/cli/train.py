@@ -1,0 +1,119 @@
+# -*- coding: utf-8 -*-
+"""Training CLI: config composition -> datamodule -> Trainer -> fit/test.
+
+Parity: reference ``climsr/cli/train.py`` — ``run()`` wires datamodule, task
+and trainer from the composed config; ``main()`` stitches top-level config
+groups into the task (optimizers/schedulers/generator/discriminator,
+``:160-164``), applies ``infer_generator_config`` channel arithmetic, runs
+fit then test, and returns the optimized metric for hparam search
+(``:143-144``).
+
+Usage: ``python train.py experiment=esrgan_pre_training [key=value ...]``
+"""
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from climsr_tpu.config.compose import compose, default_config_dir
+from climsr_tpu.config.schemas import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    OptimizerConfig,
+    SchedulerConfig,
+    SuperResolutionDataConfig,
+    TaskConfig,
+    TrainerConfig,
+    TrainingConfig,
+    from_dict,
+    infer_generator_config,
+)
+from climsr_tpu.data.datamodule import SuperResolutionDataModule
+from climsr_tpu.training.loop import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def print_config(cfg: Dict[str, Any]) -> None:
+    import yaml
+
+    print("--- composed config " + "-" * 40)
+    print(yaml.safe_dump(cfg, default_flow_style=False, sort_keys=False))
+    print("-" * 60)
+
+
+def run(cfg: Dict[str, Any]) -> Optional[float]:
+    if cfg.get("print_config", True):
+        print_config(cfg)
+
+    training_cfg = from_dict(TrainingConfig, cfg.get("training")) or TrainingConfig()
+    trainer_cfg = from_dict(TrainerConfig, cfg.get("trainer")) or TrainerConfig()
+    task_cfg = from_dict(TaskConfig, cfg.get("task")) or TaskConfig()
+    data_cfg = from_dict(SuperResolutionDataConfig, (cfg.get("datamodule") or {}).get("cfg"))
+    generator_cfg = from_dict(GeneratorConfig, cfg.get("generator"))
+    discriminator_cfg = from_dict(DiscriminatorConfig, cfg.get("discriminator"))
+    generator_cfg = infer_generator_config(generator_cfg, data_cfg)
+
+    optimizers = {
+        key: from_dict(OptimizerConfig, (cfg.get("optimizers") or {}).get(key))
+        for key in ("generator_optimizer", "discriminator_optimizer")
+    }
+    schedulers = {
+        key: from_dict(SchedulerConfig, (cfg.get("schedulers") or {}).get(key))
+        for key in ("generator_scheduler", "discriminator_scheduler")
+    }
+
+    import numpy as np
+    import random
+
+    random.seed(training_cfg.seed)
+    np.random.seed(training_cfg.seed)
+
+    datamodule = SuperResolutionDataModule(data_cfg)
+
+    run_dir = (
+        Path(training_cfg.output_dir)
+        / "outputs"
+        / "runs"
+        / training_cfg.generator_type
+        / time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    trainer = Trainer(
+        datamodule=datamodule,
+        generator_cfg=generator_cfg,
+        task_cfg=task_cfg,
+        trainer_cfg=trainer_cfg,
+        training_cfg=training_cfg,
+        discriminator_cfg=discriminator_cfg,
+        optimizers=optimizers,
+        schedulers=schedulers,
+        workdir=run_dir,
+        config_snapshot=cfg,
+    )
+
+    last_val: Dict[str, float] = {}
+    try:
+        if training_cfg.run_fit:
+            last_val = trainer.fit()
+        if training_cfg.run_test_after_fit:
+            trainer.test()
+    finally:
+        trainer.close()
+
+    if training_cfg.optimized_metric:
+        return last_val.get(training_cfg.optimized_metric)
+    return last_val.get("hp_metric")
+
+
+def main(argv: Optional[List[str]] = None) -> Optional[float]:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = compose(default_config_dir(), "config", overrides)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

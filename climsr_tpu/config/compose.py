@@ -177,8 +177,12 @@ def compose(
     value_overrides: List[tuple[str, Any]] = []
     for item in overrides:
         key, value = _parse_override(item)
-        if key in group_names and "." not in key:
+        # `group=name` selects a group file; `group={...}` / `group=null` with a
+        # structured value is a value override merged after composition.
+        if key in group_names and "." not in key and isinstance(value, str):
             selections[key] = value
+        elif key in group_names and "." not in key and value is None:
+            selections[key] = None
         else:
             value_overrides.append((key, value))
 

@@ -1,0 +1,68 @@
+# -*- coding: utf-8 -*-
+"""VGG19 perceptual loss for single-channel rasters.
+
+Parity: reference ``climsr/losses/perceptual.py``:
+
+- grayscale input repeated to 3 channels (``:26-30``),
+- L1 between truncated-VGG19 feature maps (``features[:35]`` = through
+  conv5_4 pre-ReLU),
+- **the whole forward runs under ``torch.no_grad()``** (``:23``) — a reference
+  quirk meaning the perceptual term is a constant w.r.t. the generator: it
+  shapes the logged loss value but contributes zero gradient. We reproduce
+  that with ``jax.lax.stop_gradient`` by default; set
+  ``differentiable=True`` (task config ``differentiable_perceptual``) to make
+  it a real loss term.
+
+Because the default is gradient-free, GAN training is numerically faithful to
+the reference even when no pretrained VGG weights are on disk (random-feature
+fallback shifts only the *logged* value) — flagged loudly either way.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from climsr_tpu.models.vgg import VGG19Features, try_load_pretrained
+
+logger = logging.getLogger(__name__)
+
+
+def build_perceptual_loss(
+    differentiable: bool = False,
+    compute_dtype=jnp.bfloat16,
+    variables: Optional[dict] = None,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Returns perceptual_fn(hr, sr) -> scalar L1 feature distance.
+
+    The returned callable closes over the VGG parameters (they are constants,
+    never trained — matching ``requires_grad=False`` in the reference).
+    """
+    model = VGG19Features(cutoff="conv5_4", dtype=compute_dtype)
+    if variables is None:
+        variables = try_load_pretrained()
+    if variables is None:
+        logger.warning(
+            "No pretrained VGG19 weights found (weights/vgg19_features.npz or torch hub cache). "
+            "Using randomly-initialized features: with the reference's no-grad semantics this only "
+            "changes the *logged* perceptual value, not training dynamics."
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), compute_dtype))
+
+    def perceptual_fn(fake_high_resolution: jax.Array, high_resolution: jax.Array) -> jax.Array:
+        def compute(fake, real):
+            fake3 = jnp.concatenate([fake] * 3, axis=-1).astype(compute_dtype)
+            real3 = jnp.concatenate([real] * 3, axis=-1).astype(compute_dtype)
+            f_fake = model.apply(variables, fake3).astype(jnp.float32)
+            f_real = model.apply(variables, real3).astype(jnp.float32)
+            # reference arg order: l1(net(high_resolution), net(fake)) — symmetric anyway
+            return jnp.mean(jnp.abs(f_real - f_fake))
+
+        value = compute(fake_high_resolution, high_resolution)
+        if not differentiable:
+            value = jax.lax.stop_gradient(value)
+        return value
+
+    return perceptual_fn

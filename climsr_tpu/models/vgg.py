@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""VGG19 feature extractor for the perceptual loss (NHWC, flax).
+
+Parity: reference ``climsr/losses/perceptual.py:15-19`` uses torchvision
+``vgg19(pretrained=True).features[:35]`` — i.e. everything through conv5_4
+*without* its ReLU. This module reproduces exactly that truncation.
+
+Weights: :func:`load_torchvision_weights` converts a torchvision VGG19 state
+dict (torch tensors OIHW) to this module's HWIO params; use
+:func:`save_npz`/:func:`load_npz` to cache them as a portable npz. With no
+weights available, the loss can run with random features (flagged) — note the
+reference computes this loss under ``no_grad`` so it contributes **no
+gradients**, only a logged constant (see losses/perceptual.py).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# (name, out_channels); 'M' = maxpool. Torchvision vgg19.features layout.
+_VGG19_CFG = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512), "M",
+]
+
+# torchvision features module index per conv (for state-dict key mapping)
+_TORCH_INDICES = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class VGG19Features(nn.Module):
+    """Truncated VGG19: features through ``cutoff`` conv (inclusive, pre-ReLU)."""
+
+    cutoff: str = "conv5_4"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for item in _VGG19_CFG:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            name, ch = item
+            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name=name)(x)
+            if name == self.cutoff:
+                return x
+            x = nn.relu(x)
+        raise ValueError(f"cutoff {self.cutoff!r} not in VGG19 config")
+
+
+def load_torchvision_weights(state_dict) -> Dict:
+    """Convert torchvision vgg19 ``features`` state dict (OIHW) to flax params (HWIO)."""
+    params = {}
+    conv_names = [item[0] for item in _VGG19_CFG if item != "M"]
+    for name, idx in zip(conv_names, _TORCH_INDICES):
+        w = np.asarray(state_dict[f"features.{idx}.weight"])  # (O, I, H, W)
+        b = np.asarray(state_dict[f"features.{idx}.bias"])
+        params[name] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}
+    return {"params": params}
+
+
+def save_npz(variables: Dict, path) -> None:
+    flat = {}
+    for name, p in variables["params"].items():
+        flat[f"{name}.kernel"] = np.asarray(p["kernel"])
+        flat[f"{name}.bias"] = np.asarray(p["bias"])
+    np.savez_compressed(path, **flat)
+
+
+def load_npz(path) -> Dict:
+    data = np.load(path)
+    params = {}
+    for key in data.files:
+        name, kind = key.rsplit(".", 1)
+        params.setdefault(name, {})[kind] = jnp.asarray(data[key])
+    return {"params": params}
+
+
+def default_weights_path() -> Path:
+    return Path(__file__).resolve().parents[2] / "weights" / "vgg19_features.npz"
+
+
+def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
+    """Best effort: cached npz, then a locally-cached torchvision checkpoint."""
+    npz = default_weights_path()
+    if npz.exists():
+        return load_npz(npz)
+    try:
+        import torch
+        from torch.hub import get_dir
+
+        hub = Path(get_dir()) / "checkpoints"
+        candidates = sorted(hub.glob("vgg19-*.pth"))
+        if candidates:
+            sd = torch.load(candidates[0], map_location="cpu", weights_only=True)
+            return load_torchvision_weights(sd)
+    except Exception:
+        pass
+    return None

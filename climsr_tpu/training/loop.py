@@ -1,0 +1,372 @@
+# -*- coding: utf-8 -*-
+"""The Trainer: epoch loop, validation/test with the metric suite, checkpoints.
+
+Role parity with the reference's PL ``Trainer.fit``/``.test`` orchestration
+(``climsr/cli/train.py:32-144`` + ``climsr/core/task.py``):
+
+- num_training_steps/warmup inference from the datamodule
+  (``task.py:62-92``): steps_per_epoch = len(train_loader) // accum,
+- per-epoch validation computing the 16-metric suite; ``hp_metric`` =
+  epoch-mean of per-step val/rmse (``task.py:388-391``),
+- top-k checkpointing on hp_metric + early stopping (patience, mode=min),
+- fine-tune generator-only restore, full resume,
+- ``terminate_on_nan``, ``limit_*_batches``, ``fast_dev_run``,
+- test after fit over per-variable test loaders (multi-loader "temp" mode).
+
+TPU design: one jitted train step (donated state), data sharded over the
+mesh's data axis by the prefetcher, metrics computed on device and only
+pulled to host at logging boundaries.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import climsr_tpu.consts as consts
+from climsr_tpu.config.schemas import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    OptimizerConfig,
+    SchedulerConfig,
+    TaskConfig,
+    TrainerConfig,
+    TrainingConfig,
+)
+from climsr_tpu.data.pipeline import VALID_KEY, DataLoader, device_prefetch
+from climsr_tpu.losses.perceptual import build_perceptual_loss
+from climsr_tpu.models import FUSION_GENERATORS, create_discriminator, create_generator
+from climsr_tpu.parallel.mesh import batch_sharding, create_mesh, put_replicated, replicated
+from climsr_tpu.training.checkpoint import CheckpointManager, restore_generator_params
+from climsr_tpu.training.optimizers import build_optimizer
+from climsr_tpu.training.schedules import resolve_schedule
+from climsr_tpu.training.tasks.gan import make_gan_step, make_gan_val_losses
+from climsr_tpu.training.tasks.pretrain import make_eval_step, make_pretrain_step
+from climsr_tpu.training.train_state import GANTrainState, TrainState, param_count
+from climsr_tpu.utils.logging import MetricLogger
+
+B = consts.batch_items
+T = consts.training
+logger = logging.getLogger(__name__)
+
+_GENERATOR_KWARGS = {
+    "in_channels", "out_channels", "scaling_factor", "nf", "nb", "gc",
+    "n_resgroups", "n_resblocks", "n_feats", "reduction",
+    "num_rrdb_blocks", "num_rrfdb_blocks",
+}
+
+
+class Trainer:
+    def __init__(
+        self,
+        datamodule,
+        generator_cfg: GeneratorConfig,
+        task_cfg: TaskConfig,
+        trainer_cfg: TrainerConfig,
+        training_cfg: TrainingConfig,
+        discriminator_cfg: Optional[DiscriminatorConfig] = None,
+        optimizers: Optional[Dict[str, Optional[OptimizerConfig]]] = None,
+        schedulers: Optional[Dict[str, Optional[SchedulerConfig]]] = None,
+        workdir: Optional[str] = None,
+        config_snapshot: Optional[Dict] = None,
+    ):
+        self.dm = datamodule
+        self.generator_cfg = generator_cfg
+        self.task_cfg = task_cfg
+        self.trainer_cfg = trainer_cfg
+        self.training_cfg = training_cfg
+        self.discriminator_cfg = discriminator_cfg
+        self.optimizers_cfg = optimizers or {}
+        self.schedulers_cfg = schedulers or {}
+        self.config_snapshot = config_snapshot
+        self.is_gan = task_cfg.name == "gan_training"
+        self.generator_type = generator_cfg.name
+
+        self.workdir = Path(workdir or trainer_cfg.default_root_dir or "outputs/run")
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.metric_logger = MetricLogger(self.workdir)
+
+        self.compute_dtype = jnp.bfloat16 if trainer_cfg.precision == "bf16" else jnp.float32
+        self.mesh = create_mesh(trainer_cfg.num_devices, tuple(trainer_cfg.mesh_axes))
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        # ---- data loaders -------------------------------------------------
+        cfg = self.dm.cfg
+        self.train_loader = DataLoader(
+            self.dm.train_dataset,
+            batch_size=cfg.batch_size,
+            shuffle=True,
+            num_workers=cfg.num_workers,
+            seed=cfg.seed,
+        )
+        self.val_loader = DataLoader(
+            self.dm.val_dataset,
+            batch_size=cfg.validation_batch_size,
+            shuffle=False,
+            drop_last=False,
+            pad_last=True,
+            num_workers=cfg.num_workers,
+        )
+        self.test_loaders = [
+            DataLoader(ds, batch_size=cfg.validation_batch_size, shuffle=False, drop_last=False,
+                       pad_last=True, num_workers=cfg.num_workers)
+            for ds in self.dm.test_datasets
+        ]
+
+        # num_training_steps inference (reference task.py:62-83)
+        accum = max(1, trainer_cfg.accumulate_grad_batches)
+        steps_per_epoch = len(self.train_loader)
+        if trainer_cfg.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, int(trainer_cfg.limit_train_batches))
+        self.steps_per_epoch = steps_per_epoch
+        self.num_training_steps = (steps_per_epoch // accum) * trainer_cfg.max_epochs
+        if trainer_cfg.max_steps and -1 < trainer_cfg.max_steps < self.num_training_steps:
+            self.num_training_steps = trainer_cfg.max_steps
+        logger.info("Inferred number of training steps: %d", self.num_training_steps)
+
+        # ---- models -------------------------------------------------------
+        gen_kwargs = {
+            k: getattr(generator_cfg, k) for k in _GENERATOR_KWARGS if hasattr(generator_cfg, k)
+        }
+        gen_kwargs["remat"] = trainer_cfg.remat
+        self.g_model = create_generator(self.generator_type, dtype=self.compute_dtype, **gen_kwargs)
+        self.d_model = None
+        if self.is_gan:
+            if discriminator_cfg is None:
+                raise ValueError("GAN task requires a discriminator config")
+            self.d_model = create_discriminator(
+                discriminator_cfg.name, dtype=self.compute_dtype, in_channels=discriminator_cfg.in_channels
+            )
+
+        # ---- init params ---------------------------------------------------
+        rng = jax.random.PRNGKey(training_cfg.seed)
+        sample = self._example_inputs(cfg)
+        if self.generator_type in FUSION_GENERATORS:
+            g_vars = self.g_model.init(rng, *sample)
+        else:
+            g_vars = self.g_model.init(rng, sample[0])
+        g_params = g_vars["params"]
+        logger.info("Generator '%s': %.2fM params", self.generator_type, param_count(g_params) / 1e6)
+
+        # ---- optimizers ----------------------------------------------------
+        g_opt_cfg = self.optimizers_cfg.get(T.generator_optimizer_key) or OptimizerConfig(lr=training_cfg.lr)
+        g_sched_cfg = self.schedulers_cfg.get(T.generator_scheduler_key)
+        g_schedule = resolve_schedule(g_sched_cfg, g_opt_cfg.lr, self.num_training_steps)
+        self.g_tx = build_optimizer(g_opt_cfg, g_schedule, trainer_cfg.gradient_clip_val, accum)
+        self.g_schedule = g_schedule
+
+        if self.is_gan:
+            hr_shape = (2, self.dm.train_dataset.hr_size, self.dm.train_dataset.hr_size, 1)
+            d_vars = self.d_model.init(jax.random.PRNGKey(training_cfg.seed + 1), jnp.zeros(hr_shape), train=False)
+            d_params = d_vars["params"]
+            d_bs = d_vars.get("batch_stats")
+            d_opt_cfg = self.optimizers_cfg.get(T.discriminator_optimizer_key) or OptimizerConfig(lr=training_cfg.lr)
+            d_sched_cfg = self.schedulers_cfg.get(T.discriminator_scheduler_key)
+            d_schedule = resolve_schedule(d_sched_cfg, d_opt_cfg.lr, self.num_training_steps)
+            self.d_tx = build_optimizer(d_opt_cfg, d_schedule, trainer_cfg.gradient_clip_val, accum)
+            state = GANTrainState.create(g_params, self.g_tx, d_params, self.d_tx, d_bs)
+        else:
+            state = TrainState.create(g_params, self.g_tx)
+
+        # fine-tune: generator-only weight graft (cli/train.py:112-121)
+        if training_cfg.model_weights:
+            grafted = restore_generator_params(training_cfg.model_weights, g_params)
+            state = state.replace(**({"g_params": grafted} if self.is_gan else {"params": grafted}))
+
+        self.state = put_replicated(state, self.mesh)
+
+        # ---- compiled steps ------------------------------------------------
+        if self.is_gan:
+            self.perceptual_fn = build_perceptual_loss(
+                differentiable=task_cfg.differentiable_perceptual, compute_dtype=self.compute_dtype
+            )
+            self.train_step = make_gan_step(
+                self.g_model, self.d_model, self.generator_type, self.g_tx, self.d_tx,
+                pixel_weight=task_cfg.pixel_level_loss_factor,
+                perceptual_weight=task_cfg.perceptual_loss_factor,
+                adversarial_weight=task_cfg.adversarial_loss_factor,
+                perceptual_fn=self.perceptual_fn,
+                compute_dtype=self.compute_dtype,
+            )
+            self.gan_val_losses = make_gan_val_losses(
+                self.g_model, self.d_model, self.generator_type,
+                pixel_weight=task_cfg.pixel_level_loss_factor,
+                perceptual_weight=task_cfg.perceptual_loss_factor,
+                adversarial_weight=task_cfg.adversarial_loss_factor,
+                perceptual_fn=self.perceptual_fn,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            self.train_step = make_pretrain_step(
+                self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype
+            )
+
+        zmean = zstd = 0.0
+        if cfg.normalization_method == "zscore":
+            stats = self.dm.zscore_df.set_index(consts.datasets_and_preprocessing.variable)
+            key = consts.datasets_and_preprocessing.world_clim_to_cruts_mapping[cfg.world_clim_variable]
+            zmean = float(stats.at[key, consts.stats.mean])
+            zstd = float(stats.at[key, consts.stats.std])
+        self._eval_steps = {
+            prefix: make_eval_step(
+                self.g_model, self.generator_type,
+                normalization_method=cfg.normalization_method,
+                normalization_range=tuple(cfg.normalization_range),
+                zscore_mean=zmean, zscore_std=zstd,
+                compute_dtype=self.compute_dtype, prefix=prefix,
+            )
+            for prefix in (consts.stages.val, consts.stages.test)
+        }
+
+        # ---- checkpointing -------------------------------------------------
+        self.ckpt = CheckpointManager(self.workdir / "checkpoints", save_top_k=trainer_cfg.save_top_k)
+        self.global_step = 0
+        self.early_stop_best = float("inf")
+        self.early_stop_count = 0
+
+        if trainer_cfg.resume_from_checkpoint:
+            restored = CheckpointManager(trainer_cfg.resume_from_checkpoint, save_top_k=0).restore(
+                jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+            )
+            self.state = put_replicated(restored, self.mesh)
+            self.global_step = int(jax.device_get(self.state.step))
+            logger.info("Resumed from %s at step %d", trainer_cfg.resume_from_checkpoint, self.global_step)
+
+        self.metric_logger.log_hyperparams(
+            {"generator": self.generator_type, "task": task_cfg.name, "lr": training_cfg.lr,
+             "batch_size": cfg.batch_size, "precision": trainer_cfg.precision},
+            initial_hp_metric=task_cfg.initial_hp_metric_val,
+        )
+
+    # -----------------------------------------------------------------------
+    def _example_inputs(self, cfg):
+        ds = self.dm.train_dataset
+        lr_size = ds.hr_size if self.generator_type in ("srcnn",) else ds.lr_size
+        in_ch = 1 + cfg.use_elevation + cfg.use_mask
+        x = jnp.zeros((2, lr_size, lr_size, in_ch), self.compute_dtype)
+        elev = jnp.zeros((2, ds.hr_size, ds.hr_size, 1), self.compute_dtype)
+        mask = jnp.zeros((2, ds.hr_size, ds.hr_size, 1), self.compute_dtype)
+        return x, elev, mask
+
+    def _generator_params(self):
+        return self.state.g_params if self.is_gan else self.state.params
+
+    def _limit(self, loader_len: int, limit) -> int:
+        if self.trainer_cfg.fast_dev_run:
+            return min(loader_len, 2)
+        if limit is None:
+            return loader_len
+        if isinstance(limit, float) and limit <= 1.0:
+            return int(loader_len * limit)
+        return min(loader_len, int(limit))
+
+    # -----------------------------------------------------------------------
+    def fit(self) -> Dict[str, float]:
+        tc = self.trainer_cfg
+        last_val: Dict[str, float] = {}
+        max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
+        for epoch in range(max_epochs):
+            self.train_epoch(epoch)
+            if (epoch + 1) % tc.check_val_every_n_epoch == 0 or epoch == max_epochs - 1:
+                last_val = self.validate(epoch)
+                hp_metric = last_val.get("hp_metric")
+                self.ckpt.save(
+                    self.global_step,
+                    jax.device_get(self.state),
+                    hp_metric=hp_metric,
+                    config=self.config_snapshot,
+                )
+                if hp_metric is not None and tc.early_stopping_patience:
+                    if hp_metric < self.early_stop_best - 1e-12:
+                        self.early_stop_best = hp_metric
+                        self.early_stop_count = 0
+                    else:
+                        self.early_stop_count += 1
+                        if self.early_stop_count >= tc.early_stopping_patience:
+                            logger.info("Early stopping at epoch %d (patience %d)", epoch, tc.early_stopping_patience)
+                            break
+            if tc.max_steps and self.global_step >= tc.max_steps:
+                break
+        self.ckpt.wait()
+        return last_val
+
+    def train_epoch(self, epoch: int) -> None:
+        tc = self.trainer_cfg
+        self.train_loader.set_epoch(epoch)
+        n_batches = self._limit(len(self.train_loader), tc.limit_train_batches)
+        it = device_prefetch(iter(self.train_loader), self.batch_sharding)
+        t0 = time.time()
+        samples = 0
+        for i, batch in enumerate(it):
+            if i >= n_batches:
+                break
+            batch.pop(VALID_KEY, None)
+            self.state, metrics = self.train_step(self.state, batch)
+            self.global_step += 1
+            samples += batch[B.hr].shape[0]
+            if self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                if tc.terminate_on_nan and any(np.isnan(v) for v in host.values()):
+                    raise FloatingPointError(f"NaN in training metrics at step {self.global_step}: {host}")
+                dt = time.time() - t0
+                host["train/samples_per_sec"] = samples / max(dt, 1e-9)
+                host["lr"] = float(self.g_schedule(self.global_step))
+                self.metric_logger.log_metrics(host, self.global_step)
+            if tc.max_steps and self.global_step >= tc.max_steps:
+                break
+        jax.block_until_ready(self.state.step)
+        logger.info(
+            "epoch %d: %d steps, %.1f samples/s", epoch, min(n_batches, len(self.train_loader)),
+            samples / max(time.time() - t0, 1e-9),
+        )
+
+    def _eval_loop(self, loader, prefix: str, extra_gan_losses: bool = False) -> Dict[str, float]:
+        eval_step = self._eval_steps[prefix]
+        n_batches = self._limit(len(loader), getattr(self.trainer_cfg, f"limit_{prefix}_batches", None))
+        sums: Dict[str, float] = {}
+        weights = 0.0
+        params = self._generator_params()
+        for i, batch in enumerate(device_prefetch(iter(loader), self.batch_sharding)):
+            if i >= n_batches:
+                break
+            n_valid = float(batch.pop(VALID_KEY))
+            metrics = eval_step(params, batch)
+            if extra_gan_losses and self.is_gan:
+                metrics.update(self.gan_val_losses(self.state.g_params, self.state.d_params,
+                                                   self.state.d_batch_stats, batch))
+            host = jax.device_get(metrics)
+            # per-step means weighted by valid count (padded tail batches)
+            for k, v in host.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * n_valid
+            weights += n_valid
+        return {k: v / max(weights, 1e-9) for k, v in sums.items()}
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        out = self._eval_loop(self.val_loader, consts.stages.val, extra_gan_losses=True)
+        # hp_metric = epoch mean of val/rmse (reference task.py:388-391)
+        if "val/rmse" in out:
+            out["hp_metric"] = out["val/rmse"]
+        self.metric_logger.log_metrics(out, self.global_step)
+        logger.info("epoch %d val: rmse=%.5f psnr=%.3f ssim=%.4f", epoch,
+                    out.get("val/rmse", float("nan")), out.get("val/psnr", float("nan")),
+                    out.get("val/ssim", float("nan")))
+        return out
+
+    def test(self) -> List[Dict[str, float]]:
+        results = []
+        for idx, loader in enumerate(self.test_loaders):
+            out = self._eval_loop(loader, consts.stages.test)
+            tagged = {f"{k}/{idx}" if len(self.test_loaders) > 1 else k: v for k, v in out.items()}
+            self.metric_logger.log_metrics(tagged, self.global_step)
+            results.append(out)
+        return results
+
+    def close(self) -> None:
+        self.ckpt.wait()
+        self.ckpt.close()
+        self.metric_logger.close()

@@ -1,0 +1,124 @@
+# -*- coding: utf-8 -*-
+"""Pixel-loss pre-training task: one fused, donated, sharded train step.
+
+Parity: reference ``climsr/task/pl_generator_pre_training.py`` +
+``climsr/core/task.py``:
+
+- loss = MSE for srcnn, L1 otherwise (``task.py:141``),
+- training_step = pixel loss on (sr, hr) (``pl_generator_pre_training.py:18-33``),
+- val/test step: denormalize, zero ocean pixels via mask, pixel loss + the
+  16-metric suite (``task.py:262-300``).
+
+TPU design: the whole step (fwd + bwd + optimizer) is one ``jax.jit`` with the
+batch sharded over the mesh's data axis and donated state — XLA emits the
+gradient psum over ICI (the DDP/NCCL equivalent), fuses the optimizer update,
+and keeps params in place (donation avoids a full param copy per step).
+Forward runs in bf16 (model dtype), loss/grads accumulate in f32.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import climsr_tpu.consts as consts
+from climsr_tpu.data.normalization import minmax_denormalize, zscore_denormalize
+from climsr_tpu.metrics.suite import compute_metric_suite
+from climsr_tpu.models import FUSION_GENERATORS
+from climsr_tpu.training.train_state import TrainState
+
+B = consts.batch_items
+
+
+def pixel_loss_fn(generator_type: str) -> Callable:
+    if generator_type == consts.models.srcnn:
+        return lambda sr, hr: jnp.mean(jnp.square(sr - hr))
+    return lambda sr, hr: jnp.mean(jnp.abs(sr - hr))
+
+
+def _forward(model, generator_type: str, params, batch, compute_dtype):
+    x = batch[B.lr].astype(compute_dtype)
+    if generator_type in FUSION_GENERATORS:
+        elev = batch[B.elevation].astype(compute_dtype)
+        mask = batch[B.mask].astype(compute_dtype)
+        return model.apply({"params": params}, x, elev, mask)
+    return model.apply({"params": params}, x)
+
+
+def make_pretrain_step(
+    model,
+    generator_type: str,
+    tx: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+    in_shardings: Any = None,
+    out_shardings: Any = None,
+) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict[str, jax.Array]]]:
+    loss_fn = pixel_loss_fn(generator_type)
+
+    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def compute_loss(params):
+            sr = _forward(model, generator_type, params, batch, compute_dtype)
+            return loss_fn(sr.astype(jnp.float32), batch[B.hr].astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        metrics = {"train/loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kwargs["out_shardings"] = out_shardings
+    return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
+
+
+def make_eval_step(
+    model,
+    generator_type: str,
+    normalization_method: str = "minmax",
+    normalization_range: Tuple[float, float] = (-1.0, 1.0),
+    zscore_mean: float = 0.0,
+    zscore_std: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    prefix: str = consts.stages.val,
+) -> Callable[[Any, Dict], Dict[str, jax.Array]]:
+    """Validation/test step: the reference's common_val_test_step as one jit.
+
+    Returns the metric dict (16 metrics + loss keys). Mask zeroing and the
+    normalized/denormalized metric routing match ``task.py:262-300``.
+    """
+    loss_fn = pixel_loss_fn(generator_type)
+
+    @jax.jit
+    def step(params, batch: Dict) -> Dict[str, jax.Array]:
+        sr = _forward(model, generator_type, params, batch, compute_dtype).astype(jnp.float32)
+        hr = batch[B.hr].astype(jnp.float32)
+        mask = batch[B.mask].astype(jnp.float32)
+        original = batch[B.original_data].astype(jnp.float32)
+
+        if normalization_method == "zscore":
+            denormalized_sr = zscore_denormalize(sr, zscore_mean, zscore_std)
+        else:
+            denormalized_sr = minmax_denormalize(
+                sr, batch[B.min], batch[B.max], feature_range=normalization_range
+            )
+
+        sr_masked = sr * mask
+        hr_masked = hr * mask
+        denormalized_sr = denormalized_sr * mask
+        original_masked = original * mask
+
+        loss = loss_fn(sr_masked, hr_masked)
+        metric_dict = compute_metric_suite(sr_masked, hr_masked, denormalized_sr, original_masked, mode=prefix)
+        metric_dict[f"{prefix}/normalized_loss"] = loss
+        metric_dict[f"{prefix}/loss"] = loss
+        return metric_dict
+
+    return step

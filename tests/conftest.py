@@ -1,15 +1,13 @@
 # -*- coding: utf-8 -*-
 """Test config: run JAX on a virtual 8-device CPU mesh so sharding paths are testable.
 
-Must set env vars before jax initializes (any jax import in a test module
-happens after this file loads).
+NOTE: on this image the axon TPU plugin ignores the JAX_PLATFORMS env var;
+the only reliable switch is jax.config, applied before first backend use.
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,177 @@
+# -*- coding: utf-8 -*-
+"""Training-layer tests: schedules, optimizers, train steps, checkpoints."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from climsr_tpu.config.schemas import OptimizerConfig, SchedulerConfig
+from climsr_tpu.training.optimizers import build_optimizer, rprop
+from climsr_tpu.training.schedules import (
+    compute_warmup,
+    cosine_schedule_with_warmup,
+    one_cycle_schedule,
+    resolve_schedule,
+)
+from climsr_tpu.training.train_state import GANTrainState, TrainState
+
+
+def test_compute_warmup_fraction():
+    assert compute_warmup(1000, 0.1) == 100
+    assert compute_warmup(1000, 50) == 50
+    assert compute_warmup(1000, None) == 0
+
+
+def test_one_cycle_endpoints():
+    # torch OneCycleLR parity: start max_lr/div, peak max_lr, end peak/div/final_div
+    s = one_cycle_schedule(max_lr=1e-3, num_training_steps=100, pct_start=0.1, div_factor=2, final_div_factor=100)
+    lrs = np.array([float(s(i)) for i in range(100)])
+    np.testing.assert_allclose(lrs[0], 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(lrs.max(), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(lrs[-1], 5e-4 / 100, rtol=1e-2)
+    assert np.argmax(lrs) == 9  # peak at end of warmup phase
+
+
+def test_cosine_schedule_warmup_and_decay():
+    s = cosine_schedule_with_warmup(1e-3, num_warmup_steps=10, num_training_steps=100)
+    assert float(s(0)) < float(s(9))
+    np.testing.assert_allclose(float(s(9)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(s(99)), 0.0, atol=1e-6)
+
+
+def test_resolve_schedule_by_config():
+    cfg = SchedulerConfig(name="one_cycle_schedule", max_lr=1e-4, pct_start=0.05, div_factor=2, final_div_factor=100)
+    s = resolve_schedule(cfg, 1e-4, 200)
+    assert float(s(0)) == pytest.approx(5e-5, rel=1e-5)
+    with pytest.raises(KeyError):
+        resolve_schedule(SchedulerConfig(name="nope"), 1e-4, 10)
+
+
+@pytest.mark.parametrize("name", ["adam", "adamw", "sgd", "rmsprop", "adagrad", "adadelta", "adamax"])
+def test_optimizers_decrease_quadratic(name):
+    cfg = OptimizerConfig(name=name, lr=0.1, weight_decay=0.0, momentum=0.9)
+    tx = build_optimizer(cfg, lambda step: 0.1)
+    params = {"w": jnp.asarray(5.0)}
+    state = tx.init(params)
+    for _ in range(50):
+        grads = {"w": 2 * params["w"]}
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert abs(float(params["w"])) < 5.0
+
+
+def test_rprop_sign_descent():
+    tx = rprop(learning_rate=0.1)
+    params = {"w": jnp.asarray(3.0)}
+    state = tx.init(params)
+    for _ in range(30):
+        grads = {"w": 2 * params["w"]}
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert abs(float(params["w"])) < 1.0
+
+
+def test_grad_accumulation_multisteps():
+    cfg = OptimizerConfig(name="sgd", lr=1.0, weight_decay=0.0)
+    tx = build_optimizer(cfg, lambda step: 1.0, accumulate_grad_batches=2)
+    params = {"w": jnp.asarray(1.0)}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.asarray(1.0)}, state, params)
+    assert float(updates["w"]) == 0.0  # first micro-batch: no update yet
+    updates, state = tx.update({"w": jnp.asarray(1.0)}, state, params)
+    assert float(updates["w"]) != 0.0
+
+
+def _tiny_batch(rng, n=2, lr_size=8, hr_size=32, in_ch=3):
+    return {
+        "lr": jnp.asarray(rng.normal(size=(n, lr_size, lr_size, in_ch)).astype(np.float32)),
+        "hr": jnp.asarray(rng.normal(size=(n, hr_size, hr_size, 1)).astype(np.float32)),
+        "elevation": jnp.asarray(rng.normal(size=(n, hr_size, hr_size, 1)).astype(np.float32)),
+        "mask": jnp.ones((n, hr_size, hr_size, 1), jnp.float32),
+    }
+
+
+def test_pretrain_step_reduces_loss(rng):
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.training.tasks.pretrain import make_pretrain_step
+
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    batch = _tiny_batch(rng)
+    var = model.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    cfg = OptimizerConfig(name="adam", lr=1e-3, weight_decay=0.0)
+    import optax
+
+    tx = build_optimizer(cfg, lambda s: 1e-3)
+    state = TrainState.create(var["params"], tx)
+    step = make_pretrain_step(model, "esrgan", tx, compute_dtype=jnp.float32, donate=False)
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train/loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 15
+
+
+def test_gan_step_updates_both_and_tracks_bn(rng):
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.tasks.gan import make_gan_step
+
+    g = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    d = create_discriminator("rfb_esrgan", in_channels=1)
+    batch = _tiny_batch(rng, hr_size=128, lr_size=32)
+    g_var = g.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    d_var = d.init(jax.random.PRNGKey(1), batch["hr"], train=False)
+    cfg = OptimizerConfig(name="adam", lr=1e-4, weight_decay=0.0)
+    g_tx = build_optimizer(cfg, lambda s: 1e-4)
+    d_tx = build_optimizer(cfg, lambda s: 1e-4)
+    state = GANTrainState.create(g_var["params"], g_tx, d_var["params"], d_tx, d_var.get("batch_stats"))
+    step = make_gan_step(g, d, "esrgan", g_tx, d_tx, compute_dtype=jnp.float32, donate=False)
+    old_g = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    old_bn = jax.tree_util.tree_leaves(state.d_batch_stats)[0].copy()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train/loss_G"]))
+    assert np.isfinite(float(metrics["train/loss_D"]))
+    assert not np.allclose(old_g, jax.tree_util.tree_leaves(state.g_params)[0])
+    assert not np.allclose(old_bn, jax.tree_util.tree_leaves(state.d_batch_stats)[0])
+
+
+def test_eval_step_metric_keys(rng):
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.training.tasks.pretrain import make_eval_step
+
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    batch = _tiny_batch(rng)
+    batch["original_data"] = batch["hr"] * 30.0
+    batch["min"] = jnp.zeros((2,))
+    batch["max"] = jnp.ones((2,)) * 30.0
+    var = model.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    step = make_eval_step(model, "esrgan", compute_dtype=jnp.float32)
+    out = step(var["params"], batch)
+    assert "val/rmse" in out and "val/loss" in out and "val/acc@01.25" in out
+    assert len(out) == 18  # 16 metrics + loss + normalized_loss
+
+
+def test_checkpoint_roundtrip_and_graft(tmp_path, rng):
+    import optax
+
+    from climsr_tpu.training.checkpoint import CheckpointManager, restore_generator_params
+
+    params = {"conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 2, 4)).astype(np.float32))},
+              "tail": {"kernel": jnp.asarray(rng.normal(size=(1, 1, 4, 1)).astype(np.float32))}}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(tmp_path / "ck", save_top_k=2)
+    mgr.save(1, jax.device_get(state), hp_metric=0.5)
+    mgr.save(2, jax.device_get(state.replace(step=jnp.asarray(2))), hp_metric=0.4)
+    mgr.wait()
+    assert mgr.best_step == 2
+    restored = mgr.restore(jax.device_get(state))
+    np.testing.assert_allclose(restored.params["conv"]["kernel"], params["conv"]["kernel"])
+    mgr.close()
+
+    # graft into a model with a different tail shape: tail keeps fresh init
+    fresh = {"conv": {"kernel": jnp.zeros((3, 3, 2, 4))}, "tail": {"kernel": jnp.ones((1, 1, 4, 2))}}
+    grafted = restore_generator_params(tmp_path / "ck", fresh)
+    np.testing.assert_allclose(grafted["conv"]["kernel"], params["conv"]["kernel"])
+    np.testing.assert_allclose(grafted["tail"]["kernel"], 1.0)
