@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Headline benchmark: ESRGAN (RRDB, nb=11, gc=16) 4x SR throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mpix_HR/s/chip", "vs_baseline": N}
+
+Methodology
+-----------
+- The flagship generator (the reference's trained config, conf/generator/
+  esrgan.yaml: nf=64, nb=11, gc=16) runs 4x SR on batches of 128x128-output
+  CRU-TS-style tiles in bfloat16 — the framework's production inference path
+  shape (overlap-tiled sliding window feeds exactly such batches).
+- Timing: N forward passes are chained *inside one jit* with a real
+  loop-carried data dependency (next input mixes in the downsampled output),
+  so neither XLA loop-invariant hoisting nor the experimental axon transport's
+  optimistic async completion can fake the number. Cost of the single host
+  round-trip is removed by differencing a 1-iteration run.
+
+Baseline
+--------
+The reference publishes no numbers (BASELINE.md). Its inference path runs the
+same RRDB generator in fp32, batch_size=1, via a Python DataLoader loop on an
+RTX-3090-class GPU (climsr/inference/inference.py:48-70; fp16 is used only in
+training). Analytic estimate: ~11.55 MFLOP per LR pixel (nb=11, gc=16 conv
+stack incl. HR-scale head + fusion SRCNN); RTX 3090 fp32 ~35.6 TFLOP/s peak at
+a generous 35% conv utilization + batch-1 dispatch overhead gives
+~15 Mpix-HR/s. vs_baseline is measured throughput over that estimate; the
+BASELINE.json north star (>=5x) corresponds to vs_baseline >= 5.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_MPIX_HR_S = 15.0
+FLOPS_PER_LR_PIXEL = 11.55e6  # ESRGAN nb=11 gc=16 analytic conv FLOPs
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.ops.resize import nearest_downsample
+
+    model = create_generator("esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16)
+    rngk = jax.random.PRNGKey(0)
+    variables = model.init(
+        rngk,
+        jnp.zeros((1, 32, 32, 3), jnp.bfloat16),
+        jnp.zeros((1, 128, 128, 1), jnp.bfloat16),
+        jnp.ones((1, 128, 128, 1), jnp.bfloat16),
+    )
+    params = variables["params"]
+
+    def chained(p, x, e, m, n):
+        def body(i, x):
+            out = model.apply({"params": p}, x, e, m)
+            feed = nearest_downsample(out, 4)
+            return (x * 0.999 + jnp.concatenate([feed] * 3, axis=-1) * 0.001).astype(x.dtype)
+
+        x = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    f = jax.jit(chained, static_argnames="n")
+
+    bs = 128
+    iters = 20
+    x = jax.random.normal(rngk, (bs, 32, 32, 3), jnp.bfloat16)
+    e = jax.random.normal(rngk, (bs, 128, 128, 1), jnp.bfloat16)
+    m = jnp.ones((bs, 128, 128, 1), jnp.bfloat16)
+
+    # compile both loop lengths
+    float(f(params, x, e, m, 1))
+    float(f(params, x, e, m, iters + 1))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(f(params, x, e, m, n))
+        return time.perf_counter() - t0
+
+    # median of 3 repeats, overhead-differenced
+    samples = []
+    for _ in range(3):
+        t1 = timed(1)
+        tn = timed(iters + 1)
+        samples.append((tn - t1) / iters)
+    dt = sorted(samples)[1]
+
+    hr_pixels = bs * 128 * 128
+    mpix_s = hr_pixels / dt / 1e6
+    tflops = bs * 32 * 32 * FLOPS_PER_LR_PIXEL / dt / 1e12
+    print(
+        f"# bs={bs} dt={dt * 1e3:.2f} ms/iter ~{tflops:.1f} TFLOP/s "
+        f"({tflops / 197 * 100:.1f}% of v5e peak) on {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "esrgan_nb11_4x_sr_inference_throughput",
+                "value": round(mpix_s, 1),
+                "unit": "Mpix_HR/s/chip",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_HR_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+# -*- coding: utf-8 -*-
+"""Batch inference: checkpoint -> jitted generator -> GeoTIFF per month -> NetCDF.
+
+Parity: reference ``climsr/inference/inference.py``:
+
+- ``run_inference``: per-variable checkpoint load, min-max lookup filter
+  (dataset == 'cru-ts'), NetCDF vs GeoTIFF dataset choice, full-image SR,
+  denormalize + NaN ocean mask, GeoTIFF written with the land-mask profile,
+- ``transform_tiff_files_to_net_cdf``: monthly GeoTIFFs -> CF-1.4 NetCDF named
+  ``{prefix}.cru_ts4.05.nn.inference.1901.2020.{var}.dat.nc``.
+
+TPU upgrades over the reference's batch_size=1 python loop: months are
+batched to fill the chip, frames can be overlap-tiled (``tile_size``) so any
+input size compiles once at a fixed shape, forward runs in bf16.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import re
+from glob import glob
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+import climsr_tpu.consts as consts
+from climsr_tpu.config.schemas import InferenceConfig
+from climsr_tpu.data.normalization import MinMaxScaler
+from climsr_tpu.inference.datasets import CRUTSInferenceDataset, GeoTiffInferenceDataset
+from climsr_tpu.inference.tiled import TiledSR, whole_frame_sr
+from climsr_tpu.io.geotiff import GeoProfile, read_geotiff, write_geotiff
+from climsr_tpu.io.netcdf import stack_monthly_rasters, write_climate_series
+from climsr_tpu.models import FUSION_GENERATORS, create_generator
+from climsr_tpu.training.checkpoint import restore_pytree
+
+B = consts.batch_items
+D = consts.datasets_and_preprocessing
+logger = logging.getLogger(__name__)
+
+
+def load_generator(pretrained_model: str, generator_type: str, generator_kwargs: Optional[dict] = None):
+    """Load generator params from a checkpoint directory (strict=False analogue)."""
+    restored = restore_pytree(pretrained_model)
+    if isinstance(restored, dict):
+        params = restored.get("params") or restored.get("g_params") or restored
+    else:
+        params = getattr(restored, "params", None) or getattr(restored, "g_params")
+    model = create_generator(generator_type, dtype=jnp.bfloat16, **(generator_kwargs or {}))
+    return model, params
+
+
+def make_generator_fn(model, params, generator_type: str):
+    """(lr[, elev, mask]) -> sr, matching the task-layer call dispatch."""
+    if generator_type in FUSION_GENERATORS:
+
+        def fn(lr, elev, mask):
+            return model.apply({"params": params}, lr, elev, mask)
+
+    else:
+
+        def fn(lr, *_):
+            return model.apply({"params": params}, lr)
+
+    return fn
+
+
+def inference_on_full_images(
+    model,
+    params,
+    ds,
+    out_dir: str,
+    generator_type: str,
+    normalization_range=(-1.0, 1.0),
+    batch_size: int = 8,
+    tile_size: Optional[int] = None,
+    tile_overlap: int = 16,
+    scaling_factor: int = 4,
+) -> List[str]:
+    """SR every frame in ``ds``; write one GeoTIFF per frame. Returns paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    scaler = MinMaxScaler(feature_range=tuple(normalization_range))
+    mask_arr, mask_profile = read_geotiff(ds.land_mask_file)
+    mask_np = ds.mask_np
+
+    gen_fn = make_generator_fn(model, params, generator_type)
+    n = len(ds)
+    written: List[str] = []
+
+    # assemble the whole month stack host-side (1440 frames @ 360x720 ≈ 1.5 GB — fine)
+    frames = []
+    metas = []
+    for i in range(n):
+        item = ds[i]
+        frames.append(item[B.lr])
+        metas.append((item[B.filename], float(item[B.min]), float(item[B.max])))
+    frames = np.stack(frames)
+
+    if generator_type in FUSION_GENERATORS:
+        extras = (ds.elevation_data, ds.mask_hr)
+    else:
+        extras = None
+
+    if tile_size:
+        tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
+                        batch_size=batch_size * 8)
+        sr_frames = np.stack([tiler(frames[i], extras=extras) for i in range(n)])
+    else:
+        sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
+
+    profile = GeoProfile(
+        width=sr_frames.shape[2],
+        height=sr_frames.shape[1],
+        origin_x=mask_profile.origin_x,
+        origin_y=mask_profile.origin_y,
+        pixel_size_x=mask_profile.pixel_size_x,
+        pixel_size_y=mask_profile.pixel_size_y,
+        nodata=np.nan,
+    )
+    for i, (filename, vmin, vmax) in enumerate(metas):
+        arr = scaler.denormalize(sr_frames[i][..., 0], vmin, vmax)
+        arr = np.where(mask_np, arr, np.nan).astype(np.float32)
+        out_path = os.path.join(out_dir, filename)
+        write_geotiff(out_path, arr, profile)
+        written.append(out_path)
+    return written
+
+
+def run_inference(cfg: InferenceConfig, cruts_variables: List[str], generator_kwargs: Optional[dict] = None) -> None:
+    for var in cruts_variables:
+        out_path = os.path.join(cfg.inference_out_path, var)
+        os.makedirs(out_path, exist_ok=True)
+        logger.info("Running inference for variable: %s with model: %s", var, cfg.pretrained_model)
+
+        model, params = load_generator(cfg.pretrained_model, cfg.generator_type, generator_kwargs)
+
+        min_max_lookup = pd.read_feather(cfg.min_max_lookup)
+        min_max_lookup = min_max_lookup[
+            (min_max_lookup[D.dataset] == "cru-ts") & (min_max_lookup[D.variable] == var)
+        ]
+
+        if cfg.use_netcdf_datasets:
+            ds = CRUTSInferenceDataset(
+                ds_path=cfg.ds_path,
+                elevation_file=cfg.elevation_file,
+                land_mask_file=cfg.land_mask_file,
+                generator_type=cfg.generator_type,
+                scaling_factor=cfg.scaling_factor,
+                normalize=cfg.normalize,
+                standardize=not cfg.normalize,
+                standardize_stats=pd.read_feather(cfg.zscore_lookup) if not cfg.normalize else None,
+                normalize_range=tuple(cfg.normalization_range),
+                use_elevation=cfg.use_elevation,
+                use_mask=cfg.use_mask,
+            )
+        else:
+            ds = GeoTiffInferenceDataset(
+                tiff_dir=os.path.join(cfg.tiff_dir, var),
+                tiff_df=min_max_lookup,
+                variable=var,
+                elevation_file=cfg.elevation_file,
+                land_mask_file=cfg.land_mask_file,
+                generator_type=cfg.generator_type,
+                scaling_factor=cfg.scaling_factor,
+                normalize=cfg.normalize,
+                standardize=not cfg.normalize,
+                standardize_stats=pd.read_feather(cfg.zscore_lookup) if not cfg.normalize else None,
+                normalize_range=tuple(cfg.normalization_range),
+                use_elevation=cfg.use_elevation,
+                use_mask=cfg.use_mask,
+                use_global_min_max=cfg.use_global_min_max,
+            )
+
+        inference_on_full_images(
+            model,
+            params,
+            ds,
+            out_dir=out_path,
+            generator_type=cfg.generator_type,
+            normalization_range=tuple(cfg.normalization_range),
+            batch_size=cfg.batch_size,
+            tile_size=cfg.tile_size,
+            tile_overlap=cfg.tile_overlap,
+            scaling_factor=cfg.scaling_factor,
+        )
+        logger.info("Inference for variable %s finished.", var)
+
+
+def transform_tiff_files_to_net_cdf(
+    tiff_dir: str,
+    nc_out_path: str,
+    cruts_variables: List[str],
+    prefix: str = "inference",
+) -> None:
+    os.makedirs(nc_out_path, exist_ok=True)
+    for var in cruts_variables:
+        fps = sorted(glob(os.path.join(tiff_dir, var, "*.tif")))
+        if not fps:
+            logger.warning("No GeoTIFFs for %s under %s", var, tiff_dir)
+            continue
+        timestamps = []
+        arrs = []
+        profile = None
+        for fp in fps:
+            name = os.path.basename(fp).replace(".tif", "")
+            m = re.search(r"(\d{4}-\d{2}-\d{2})$", name)
+            timestamps.append(np.datetime64(m.group(1) if m else "1901-01-01"))
+            arr, profile = read_geotiff(fp)
+            arrs.append(arr)
+        h, w = arrs[0].shape
+        # north-up raster: row 0 = origin_y (top); CF lat ascending from the south
+        lat = profile.origin_y - (np.arange(h) + 0.5) * profile.pixel_size_y
+        lon = profile.origin_x + (np.arange(w) + 0.5) * profile.pixel_size_x
+        series = stack_monthly_rasters(arrs, timestamps, lat, lon, var)
+        out = os.path.join(nc_out_path, f"{prefix}.cru_ts4.05.nn.inference.1901.2020.{var}.dat.nc")
+        write_climate_series(
+            out,
+            series,
+            title=f"CRU TS4.05 {D.var_to_variable.get(var, var)}",
+        )
+        logger.info("Wrote %s", out)

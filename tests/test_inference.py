@@ -1,0 +1,151 @@
+# -*- coding: utf-8 -*-
+"""Inference pipeline tests: tiled SR blending, whole-series CRU-TS flow, NetCDF export."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import climsr_tpu.consts as consts
+from climsr_tpu.inference.tiled import TiledSR, pad_to_multiple, whole_frame_sr
+from climsr_tpu.io.geotiff import GeoProfile, read_geotiff, write_geotiff
+from climsr_tpu.io.netcdf import ClimateSeries, read_climate_series, write_climate_series
+
+
+def _upsample_fn(scale=4):
+    # stand-in 'generator': nearest upsample, so tiled output is exactly checkable
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr, *extras):
+        return nearest_upsample(lr[..., :1], scale)
+
+    return fn
+
+
+def test_pad_to_multiple_reflect():
+    frame = np.arange(30, dtype=np.float32).reshape(5, 6, 1)
+    padded, (h, w) = pad_to_multiple(frame, 4)
+    assert padded.shape == (8, 8, 1)
+    assert (h, w) == (5, 6)
+
+
+def test_tiled_sr_matches_direct_for_translation_invariant_fn(rng):
+    frame = rng.normal(size=(96, 96, 1)).astype(np.float32)
+    tiler = TiledSR(_upsample_fn(), scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    out = tiler(frame)
+    want = np.repeat(np.repeat(frame, 4, axis=0), 4, axis=1)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_tiled_sr_nonmultiple_frame(rng):
+    frame = rng.normal(size=(90, 113, 1)).astype(np.float32)
+    tiler = TiledSR(_upsample_fn(), scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    out = tiler(frame)
+    # covers the original extent exactly in the top-left corner
+    want = np.repeat(np.repeat(frame, 4, axis=0), 4, axis=1)
+    np.testing.assert_allclose(out[: 90 * 4, : 113 * 4], want, atol=1e-5)
+
+
+def test_tiled_overlap_validation():
+    with pytest.raises(ValueError):
+        TiledSR(_upsample_fn(), scale=4, tile_size=32, overlap=16)
+
+
+def test_whole_frame_sr_batching(rng):
+    frames = rng.normal(size=(5, 16, 16, 1)).astype(np.float32)
+    out = whole_frame_sr(_upsample_fn(), frames, batch_size=2, compute_dtype=jnp.float32)
+    assert out.shape == (5, 64, 64, 1)
+    np.testing.assert_allclose(out[4], np.repeat(np.repeat(frames[4], 4, 0), 4, 1), atol=1e-5)
+
+
+@pytest.fixture()
+def cruts_fixture(tmp_path, rng):
+    """Mini CRU-TS world: NetCDF series + elevation + land-mask GeoTIFFs."""
+    h, w, scale, months = 24, 48, 4, 5
+    hr_h, hr_w = h * scale, w * scale
+    data = rng.normal(10, 5, size=(months, h, w)).astype(np.float32)
+    data[:, :4, :] = np.nan  # ocean strip
+    time = np.array([f"1901-{m:02d}-16" for m in range(1, months + 1)], dtype="datetime64[D]")
+    lat = np.linspace(-89, 89, h)
+    lon = np.linspace(-179, 179, w)
+    nc_path = tmp_path / "cru_ts4.05.1901.2020.tmp.dat.nc"
+    write_climate_series(nc_path, ClimateSeries("tmp", data, time, lat, lon))
+
+    mask_hr = np.ones((hr_h, hr_w), np.float32)
+    mask_hr[: 4 * scale, :] = np.nan  # ocean at HR
+    mask_path = tmp_path / "land_mask.tif"
+    write_geotiff(mask_path, mask_hr, GeoProfile.global_grid(hr_h, hr_w))
+
+    elev = rng.normal(500, 300, size=(hr_h, hr_w)).astype(np.float32)
+    elev_path = tmp_path / "elevation.tif"
+    write_geotiff(elev_path, elev, GeoProfile.global_grid(hr_h, hr_w, nodata=None))
+    return dict(tmp_path=tmp_path, nc=nc_path, mask=mask_path, elev=elev_path, months=months, hw=(h, w), scale=scale)
+
+
+def test_cruts_inference_dataset_channels(cruts_fixture):
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="esrgan",
+        scaling_factor=4,
+    )
+    assert len(ds) == cruts_fixture["months"]
+    item = ds[0]
+    h, w = cruts_fixture["hw"]
+    assert item[consts.batch_items.lr].shape == (h, w, 3)  # data + elev_lr + mask_lr
+    assert item[consts.batch_items.elevation].shape == (h * 4, w * 4, 1)
+    assert item[consts.batch_items.filename].startswith("cruts-tmp-1901-01")
+    assert np.isfinite(item[consts.batch_items.lr]).all()
+
+
+def test_full_inference_flow_writes_geotiffs_and_netcdf(cruts_fixture, rng):
+    import jax
+
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images, transform_tiff_files_to_net_cdf
+    from climsr_tpu.models import create_generator
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="esrgan",
+        scaling_factor=4,
+    )
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, dtype=jnp.float32)
+    item = ds[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + item[consts.batch_items.lr].shape),
+        jnp.zeros((1,) + item[consts.batch_items.elevation].shape),
+        jnp.zeros((1,) + item[consts.batch_items.mask].shape),
+    )["params"]
+
+    out_dir = cruts_fixture["tmp_path"] / "sr" / "tmp"
+    written = inference_on_full_images(model, params, ds, str(out_dir), "esrgan", batch_size=2)
+    assert len(written) == cruts_fixture["months"]
+
+    arr, profile = read_geotiff(written[0])
+    h, w = cruts_fixture["hw"]
+    assert arr.shape == (h * 4, w * 4)
+    assert np.isnan(arr[:2, :]).all()  # ocean masked to NaN
+    assert np.isfinite(arr[-10:, :]).all()
+
+    nc_out = cruts_fixture["tmp_path"] / "nc"
+    transform_tiff_files_to_net_cdf(str(cruts_fixture["tmp_path"] / "sr"), str(nc_out), ["tmp"], prefix="esrgan")
+    out_files = list(nc_out.glob("*.nc"))
+    assert len(out_files) == 1
+    back = read_climate_series(out_files[0], "tmp")
+    assert back.data.shape == (cruts_fixture["months"], h * 4, w * 4)
+
+
+def test_result_inspection_compare(cruts_fixture):
+    from climsr_tpu.result_inspection.models import CompareStatsResults
+
+    nn = read_climate_series(cruts_fixture["nc"], "tmp")
+    results = CompareStatsResults.compute(nn, nn, lats=[0.0, 45.0], lons=[0.0, 90.0])
+    assert results.mae == 0.0 and results.rmse == 0.0
+    frame = results.to_frame()
+    assert len(frame) == 2

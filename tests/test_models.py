@@ -58,19 +58,19 @@ def test_rcan_shapes():
 
 
 def test_drln_shapes():
-    m = DRLN(out_channels=1, channels=32)
-    x = jnp.zeros((1, 16, 16, 1))
+    m = DRLN(out_channels=1, channels=16)
+    x = jnp.zeros((1, 8, 8, 1))
     var = m.init(_rng(), x)
     out = m.apply(var, x)
-    assert out.shape == (1, 64, 64, 1)
+    assert out.shape == (1, 32, 32, 1)
 
 
 def test_rfb_esrgan_generator_shapes():
     m = RFBESRGANGenerator(out_channels=1, num_rrdb_blocks=1, num_rrfdb_blocks=1)
-    x = jnp.zeros((1, 16, 16, 3))
+    x = jnp.zeros((1, 8, 8, 3))
     var = m.init(_rng(), x)
     out = m.apply(var, x)
-    assert out.shape == (1, 64, 64, 1)
+    assert out.shape == (1, 32, 32, 1)
     # tanh output bounded
     assert float(jnp.abs(out).max()) <= 1.0
 
