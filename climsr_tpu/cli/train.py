@@ -81,6 +81,11 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         / training_cfg.generator_type
         / time.strftime("%Y-%m-%d_%H-%M-%S")
     )
+    from climsr_tpu.training.callbacks import build_callbacks
+
+    callback_names = cfg.get("callbacks")
+    if isinstance(callback_names, dict):
+        callback_names = list(callback_names)
     trainer = Trainer(
         datamodule=datamodule,
         generator_cfg=generator_cfg,
@@ -92,10 +97,18 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         schedulers=schedulers,
         workdir=run_dir,
         config_snapshot=cfg,
+        callbacks=build_callbacks(callback_names),
     )
 
     last_val: Dict[str, float] = {}
     try:
+        if training_cfg.lr_find_only:
+            # reference cli/train.py:98-109 — LR range test, report, exit
+            from climsr_tpu.training.lr_finder import lr_range_test
+
+            suggestion, _ = lr_range_test(trainer)
+            logger.info("LR finder done; suggestion=%.3g (plots in %s)", suggestion, trainer.workdir)
+            return suggestion
         if training_cfg.run_fit:
             last_val = trainer.fit()
         if training_cfg.run_test_after_fit:
@@ -112,6 +125,29 @@ def main(argv: Optional[List[str]] = None) -> Optional[float]:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(default_config_dir(), "config", overrides)
+
+    search_cfg = cfg.get("hparams_search")
+    if isinstance(search_cfg, dict) and search_cfg.get("search_space"):
+        # sweep mode (reference: hydra -m + Optuna sweeper)
+        from climsr_tpu.training.hparams_search import run_search
+
+        metric = search_cfg.get("optimized_metric", "val/rmse")
+        base = [o for o in overrides if not o.startswith("hparams_search")]
+        base.append(f"training.optimized_metric={metric}")
+
+        def objective(trial_overrides: List[str]) -> Optional[float]:
+            trial_cfg = compose(default_config_dir(), "config", trial_overrides)
+            trial_cfg["print_config"] = False
+            return run(trial_cfg)
+
+        best, _ = run_search(
+            base,
+            search_cfg,
+            objective,
+            output_dir=str(cfg.get("training", {}).get("output_dir", ".")) + "/hparams_search",
+        )
+        return best.value if best else None
+
     return run(cfg)
 
 

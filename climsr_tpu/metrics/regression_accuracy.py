@@ -1,0 +1,35 @@
+# -*- coding: utf-8 -*-
+"""Stateful RegressionAccuracy accumulator (torchmetrics-Metric-style API).
+
+Parity: reference ``climsr/metrics/regression_accuracy.py`` — sum states
+``correct``/``total`` accumulated across updates; under a sharded batch the
+sums reduce globally inside jit (the ``dist_reduce_fx="sum"`` equivalent).
+The metric suite uses the functional form; this class exists for users of the
+reference's object API.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class RegressionAccuracy:
+    def __init__(self, eps: float = 1.0):
+        self.eps = eps
+        self.reset()
+
+    def reset(self) -> None:
+        self.correct = jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32)
+        self.total = jnp.zeros_like(self.correct)
+
+    def update(self, preds: jax.Array, target: jax.Array) -> None:
+        assert preds.shape == target.shape
+        self.correct = self.correct + jnp.sum(jnp.abs(preds - target) <= self.eps)
+        self.total = self.total + target.size
+
+    def compute(self) -> jax.Array:
+        return self.correct.astype(jnp.float32) / self.total
+
+    def __call__(self, preds: jax.Array, target: jax.Array) -> jax.Array:
+        self.update(preds, target)
+        return jnp.mean((jnp.abs(preds - target) <= self.eps).astype(jnp.float32))

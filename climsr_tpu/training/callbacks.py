@@ -1,0 +1,168 @@
+# -*- coding: utf-8 -*-
+"""Trainer callbacks: validation image grids (the reference's LogImagesCallback).
+
+Parity: reference ``climsr/core/callbacks.py:39-440``:
+
+- after validation, pull one val batch, run the generator, and log image grids
+  to TensorBoard: HR / elevation / nearest / cubic once (first epoch), SR and
+  |error| every epoch,
+- masked-NaN rendering with jet (data), inferno (elevation), gray colormaps,
+  ocean painted black,
+- optional per-sample matplotlib figure panels with MAE/RMSE labels vs the
+  nearest/cubic interpolation baselines, saved under ``images/``.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import climsr_tpu.consts as consts
+
+B = consts.batch_items
+logger = logging.getLogger(__name__)
+
+
+def _colorize(arr: np.ndarray, mask: Optional[np.ndarray] = None, cmap_name: str = "jet") -> np.ndarray:
+    """(H, W) float -> (H, W, 3) uint8 with NaN/ocean painted black."""
+    import matplotlib
+
+    cmap = matplotlib.colormaps[cmap_name].copy()
+    cmap.set_bad("black", 1.0)
+    arr = np.asarray(arr, np.float32).copy()
+    if mask is not None:
+        arr[mask <= 0] = np.nan
+    finite = np.isfinite(arr)
+    vmin = np.nanmin(arr[finite]) if finite.any() else 0.0
+    vmax = np.nanmax(arr[finite]) if finite.any() else 1.0
+    norm = (arr - vmin) / (vmax - vmin + 1e-12)
+    rgba = cmap(np.ma.masked_invalid(norm))
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def make_grid(images: np.ndarray, masks: Optional[np.ndarray], nrow: int = 8, cmap: str = "jet") -> np.ndarray:
+    """(N, H, W) stack -> single (GH, GW, 3) uint8 grid image."""
+    n, h, w = images.shape[:3]
+    ncol = min(nrow, n)
+    nrows = (n + ncol - 1) // ncol
+    grid = np.zeros((nrows * h, ncol * w, 3), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, ncol)
+        m = masks[i] if masks is not None else None
+        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = _colorize(images[i], m, cmap)
+    return grid
+
+
+class LogImagesCallback:
+    def __init__(
+        self,
+        max_images: int = 8,
+        save_figures: bool = False,
+    ):
+        self.max_images = max_images
+        self.save_figures = save_figures
+        self._static_logged = False
+
+    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        loader = trainer.val_loader
+        batch = next(iter(loader))
+        batch.pop("__valid__", None)
+        n = min(self.max_images, batch[B.hr].shape[0])
+        batch = {k: v[:n] if np.ndim(v) >= 1 else v for k, v in batch.items()}
+
+        params = trainer._generator_params()
+        from climsr_tpu.models import FUSION_GENERATORS
+
+        x = jnp.asarray(batch[B.lr], trainer.compute_dtype)
+        if trainer.generator_type in FUSION_GENERATORS:
+            sr = trainer.g_model.apply(
+                {"params": params},
+                x,
+                jnp.asarray(batch[B.elevation], trainer.compute_dtype),
+                jnp.asarray(batch[B.mask], trainer.compute_dtype),
+            )
+        else:
+            sr = trainer.g_model.apply({"params": params}, x)
+        sr = np.asarray(sr.astype(jnp.float32))[..., 0]
+        hr = batch[B.hr][..., 0]
+        mask = batch[B.mask][..., 0]
+        error = np.abs(sr - hr)
+
+        step = trainer.global_step
+        mlog = trainer.metric_logger
+        if not self._static_logged:
+            mlog.log_image("val/hr_images", make_grid(hr, mask, cmap="jet"), step)
+            mlog.log_image("val/elevation", make_grid(batch[B.elevation][..., 0], mask, cmap="inferno"), step)
+            mlog.log_image("val/nearest_interpolation", make_grid(batch[B.nearest][..., 0], mask, cmap="jet"), step)
+            mlog.log_image("val/cubic_interpolation", make_grid(batch[B.cubic][..., 0], mask, cmap="jet"), step)
+            self._static_logged = True
+        mlog.log_image("val/sr_images", make_grid(sr, mask, cmap="jet"), step)
+        mlog.log_image("val/error", make_grid(error, mask, cmap="gray"), step)
+
+        if self.save_figures:
+            self._save_fig(trainer, batch, sr, error, epoch, step)
+
+    def _save_fig(self, trainer, batch, sr, error, epoch: int, step: int) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        img_dir = os.path.join(trainer.workdir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        hr = batch[B.hr][..., 0]
+        nearest = batch[B.nearest][..., 0]
+        cubic = batch[B.cubic][..., 0]
+        mask = batch[B.mask][..., 0]
+        n = hr.shape[0]
+        cols = ["HR", "Interp. Nearest", "Interp. Cubic", "SR", "SR Error"]
+        fig, axes = plt.subplots(n, len(cols), figsize=(3 * len(cols), 3 * n), squeeze=False)
+        for i in range(n):
+            panels = [hr[i], nearest[i], cubic[i], sr[i], error[i]]
+            for j, (title, panel) in enumerate(zip(cols, panels)):
+                ax = axes[i][j]
+                shown = panel.copy()
+                shown[mask[i] <= 0] = np.nan
+                ax.imshow(shown, cmap="jet")
+                ax.set_xticks([])
+                ax.set_yticks([])
+                if j in (1, 2, 3):
+                    diff = (panel - hr[i])[mask[i] > 0]
+                    mae = float(np.abs(diff).mean()) if diff.size else 0.0
+                    rmse = float(np.sqrt(np.square(diff).mean())) if diff.size else 0.0
+                    ax.set_xlabel(f"MAE {mae:.3f} / RMSE {rmse:.3f}", fontsize=8)
+                if i == 0:
+                    ax.set_title(title)
+        out = os.path.join(img_dir, f"figure_epoch={epoch:03d}_step={step:06d}.png")
+        fig.savefig(out, bbox_inches="tight", dpi=72)
+        plt.close(fig)
+        logger.info("Saved validation figure panel to %s", out)
+
+
+class LearningRateMonitor:
+    """Logs the generator LR each validation (reference learning_rate_monitor.yaml)."""
+
+    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        trainer.metric_logger.log_metrics(
+            {"lr-generator": float(trainer.g_schedule(trainer.global_step))}, trainer.global_step
+        )
+
+
+CALLBACK_REGISTRY = {
+    "log_images": LogImagesCallback,
+    "learning_rate_monitor": LearningRateMonitor,
+}
+
+
+def build_callbacks(names: Optional[List[str]]) -> List:
+    out = []
+    for name in names or []:
+        if name in CALLBACK_REGISTRY:
+            out.append(CALLBACK_REGISTRY[name]())
+        # early_stopping / model_checkpoint are first-class Trainer features
+    return out

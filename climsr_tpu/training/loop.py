@@ -74,7 +74,9 @@ class Trainer:
         schedulers: Optional[Dict[str, Optional[SchedulerConfig]]] = None,
         workdir: Optional[str] = None,
         config_snapshot: Optional[Dict] = None,
+        callbacks: Optional[List] = None,
     ):
+        self.callbacks = callbacks or []
         self.dm = datamodule
         self.generator_cfg = generator_cfg
         self.task_cfg = task_cfg
@@ -267,6 +269,15 @@ class Trainer:
 
     # -----------------------------------------------------------------------
     def fit(self) -> Dict[str, float]:
+        if self.trainer_cfg.profiler == "jax":
+            # xplane trace viewable in TensorBoard (reference: PL profiler group)
+            import jax.profiler as jprof
+
+            with jprof.trace(str(self.workdir / self.trainer_cfg.profiler_dir)):
+                return self._fit_impl()
+        return self._fit_impl()
+
+    def _fit_impl(self) -> Dict[str, float]:
         tc = self.trainer_cfg
         last_val: Dict[str, float] = {}
         max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
@@ -355,6 +366,11 @@ class Trainer:
         logger.info("epoch %d val: rmse=%.5f psnr=%.3f ssim=%.4f", epoch,
                     out.get("val/rmse", float("nan")), out.get("val/psnr", float("nan")),
                     out.get("val/ssim", float("nan")))
+        for cb in self.callbacks:
+            try:
+                cb.on_validation_end(self, epoch, out)
+            except Exception:
+                logger.exception("Callback %s failed", type(cb).__name__)
         return out
 
     def test(self) -> List[Dict[str, float]]:

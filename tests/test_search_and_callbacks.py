@@ -1,0 +1,88 @@
+# -*- coding: utf-8 -*-
+"""Tests for the hparam-search driver, callbacks, and LR-finder math."""
+import numpy as np
+import pytest
+
+from climsr_tpu.training.hparams_search import (
+    CategoricalTPESampler,
+    RandomSampler,
+    SearchSpace,
+    Trial,
+    run_search,
+)
+
+
+def _space():
+    return SearchSpace.from_config(
+        {
+            "training.lr": {"type": "categorical", "choices": [1e-4, 1e-3]},
+            "datamodule.cfg.use_mask": {"type": "categorical", "choices": [False, True]},
+        }
+    )
+
+
+def test_search_space_parsing():
+    space = _space()
+    assert set(space.dimensions) == {"training.lr", "datamodule.cfg.use_mask"}
+    with pytest.raises(ValueError):
+        SearchSpace.from_config({"x": {"type": "float", "low": 0}})
+
+
+def test_tpe_sampler_prefers_good_region():
+    space = _space()
+    sampler = CategoricalTPESampler(space, seed=0, n_startup_trials=4)
+    # fabricate history: lr=1e-3 is clearly better
+    history = [
+        Trial(i, {"training.lr": 1e-3 if i % 2 else 1e-4, "datamodule.cfg.use_mask": True},
+              value=0.1 if i % 2 else 1.0)
+        for i in range(20)
+    ]
+    picks = [sampler.suggest(history)["training.lr"] for _ in range(50)]
+    assert picks.count(1e-3) > 30  # strongly biased to the good choice
+
+
+def test_run_search_drives_objective(tmp_path):
+    space_cfg = {
+        "n_trials": 8,
+        "direction": "minimize",
+        "sampler": {"name": "random", "seed": 1},
+        "search_space": {"x": {"type": "categorical", "choices": [1, 2, 3]}},
+    }
+
+    def objective(overrides):
+        x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
+        return float((x - 2) ** 2)
+
+    best, trials = run_search([], space_cfg, objective, output_dir=str(tmp_path))
+    assert best is not None and best.params["x"] == 2
+    assert (tmp_path / "trials.csv").exists() and (tmp_path / "best.yaml").exists()
+    assert len(trials) == 8
+
+
+def test_run_search_tolerates_failures(tmp_path):
+    cfg = {
+        "n_trials": 4,
+        "search_space": {"x": {"type": "categorical", "choices": [0, 1]}},
+        "sampler": {"name": "random", "seed": 0},
+    }
+
+    def objective(overrides):
+        x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
+        if x == 0:
+            raise RuntimeError("boom")
+        return 1.0
+
+    best, trials = run_search([], cfg, objective, output_dir=str(tmp_path))
+    assert best is not None and best.params["x"] == 1
+
+
+def test_make_grid_and_colorize():
+    from climsr_tpu.training.callbacks import make_grid
+
+    imgs = np.random.default_rng(0).normal(size=(3, 8, 8)).astype(np.float32)
+    masks = np.ones((3, 8, 8), np.float32)
+    masks[0, :4] = 0.0
+    grid = make_grid(imgs, masks, nrow=2, cmap="jet")
+    assert grid.shape == (16, 16, 3) and grid.dtype == np.uint8
+    # masked region painted black
+    assert grid[:4, :8].max() == 0
