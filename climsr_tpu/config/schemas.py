@@ -169,6 +169,14 @@ class TrainerConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     shard_optimizer_state: bool = False  # ZeRO-1 analogue over the data axis
     remat: bool = False  # rematerialize heavy blocks to save HBM
+    # augmentation + LR synthesis inside the jitted train step (ops/augment.py);
+    # host then only ships raw normalized tiles
+    device_augment: bool = True
+    # keep the whole train tile store in HBM and gather batches on device
+    # ("auto": enabled when the store fits device_store_max_bytes). Removes
+    # per-step host->device batch transfers entirely.
+    device_resident_data: Any = "auto"
+    device_store_max_bytes: int = 6_000_000_000
 
     # checkpointing / resume
     default_root_dir: Optional[str] = None

@@ -62,6 +62,7 @@ class ClimateDataset:
         use_global_min_max: bool = True,
         europe_extent: bool = False,
         transforms_cfg: Optional[TransformsCfg] = None,
+        cache_tiles: bool = True,
     ):
         if normalize == standardize:
             raise ValueError("Bad parameter combination: normalization and standardization! Choose one!")
@@ -112,6 +113,13 @@ class ClimateDataset:
                 (row[D.x], row[D.y], row[D.resolution]): row[fp_col] for _, row in elevation_df.iterrows()
             }
         self._elev_cache: Dict[str, np.ndarray] = {}
+        # In-RAM cache of decoded+normalized tiles (~80-150 KB per 128x128
+        # tile: ~2.5 GB for a 30k-tile real dataset). Decoding and
+        # normalization happen once; per-epoch work reduces to augmentation +
+        # resize + stacking, which keeps a TPU chip fed (the reference re-reads
+        # and re-normalizes every tile every epoch).
+        self.cache_tiles = cache_tiles
+        self._tile_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return len(self.df)
@@ -157,13 +165,15 @@ class ClimateDataset:
             out = np.concatenate([out, mask_lr], axis=-1)
         return out
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _load_normalized(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(normalized_hr, normalized_elev, mask, original) for a tile row."""
+        if self.cache_tiles and index in self._tile_cache:
+            return self._tile_cache[index]
         row = self.df.iloc[index]
         tile_min = float(row[S.global_min] if self.use_global_min_max else row[S.min])
         tile_max = float(row[S.global_max] if self.use_global_min_max else row[S.max])
 
-        fp = row[self._fp_col]
-        original_image = read_raster(fp).astype(np.float32)
+        original_image = read_raster(row[self._fp_col]).astype(np.float32)
         img_hr = original_image.copy()
         img_elev = self._read_elevation(row)
 
@@ -177,6 +187,17 @@ class ClimateDataset:
             img_elev = self.elevation_scaler.normalize(img_elev)
 
         mask = ~np.isnan(original_image)
+        item = (img_hr, img_elev, mask, original_image)
+        if self.cache_tiles:
+            self._tile_cache[index] = item
+        return item
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        row = self.df.iloc[index]
+        tile_min = float(row[S.global_min] if self.use_global_min_max else row[S.min])
+        tile_max = float(row[S.global_max] if self.use_global_min_max else row[S.max])
+
+        img_hr, img_elev, mask, original_image = self._load_normalized(index)
 
         if self.stage == consts.stages.train:
             return self._training_sample(img_hr, img_elev, mask)

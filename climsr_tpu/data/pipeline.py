@@ -103,6 +103,119 @@ class DataLoader:
                 yield batch
 
 
+class RawTileLoader:
+    """Serves batches of raw normalized tiles {hr, elevation, mask} for
+    device-side augmentation (ops/augment.py).
+
+    Bypasses per-sample augmentation/resize entirely: after the first epoch
+    the dataset's in-RAM tile cache makes a batch a pure stack of cached
+    arrays, so the host can feed the chip at >10k samples/s.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, num_workers: int = 8, seed: int = 42):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def preload(self) -> None:
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            list(pool.map(self.dataset._load_normalized, range(len(self.dataset))))
+
+    def __iter__(self):
+        import climsr_tpu.consts as consts
+
+        B = consts.batch_items
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+
+        def fetch(idx):
+            hr, elev, mask, _ = self.dataset._load_normalized(int(idx))
+            return hr, elev, mask
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = collections.deque()
+            starts = list(range(0, (n // self.batch_size) * self.batch_size, self.batch_size))
+            starts_iter = iter(starts)
+            for _ in range(2):
+                s = next(starts_iter, None)
+                if s is not None:
+                    pending.append(pool.map(fetch, order[s : s + self.batch_size]))
+            while pending:
+                samples = list(pending.popleft())
+                s = next(starts_iter, None)
+                if s is not None:
+                    pending.append(pool.map(fetch, order[s : s + self.batch_size]))
+                hr = np.stack([t[0] for t in samples])[..., None]
+                elev = np.stack([t[1] for t in samples])[..., None]
+                mask = np.stack([t[2] for t in samples]).astype(np.float32)[..., None]
+                yield {B.hr: hr, B.elevation: elev, B.mask: mask}
+
+
+def build_device_store(dataset, num_workers: int = 8, dtype=None) -> Dict[str, Any]:
+    """Preload the entire tile set into device HBM as stacked NHWC arrays.
+
+    Returns {hr, elevation, mask} device arrays of shape (n_tiles, H, W, 1).
+    One bulk host->device transfer replaces per-step batch transfers — on
+    hosts with thin device links (or multi-epoch runs generally) the input
+    pipeline cost drops to shipping int32 index vectors. ~80 KB/tile in f32:
+    a 30k-tile dataset is ~2.4 GB of HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import climsr_tpu.consts as consts
+
+    B = consts.batch_items
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        tiles = list(pool.map(dataset._load_normalized, range(n)))
+    hr = np.stack([t[0] for t in tiles])[..., None]
+    elev = np.stack([t[1] for t in tiles])[..., None]
+    mask = np.stack([t[2] for t in tiles]).astype(np.float32)[..., None]
+    if dtype is not None:
+        hr = hr.astype(dtype)
+        elev = elev.astype(dtype)
+        mask = mask.astype(dtype)
+    store = {B.hr: jax.device_put(hr), B.elevation: jax.device_put(elev), B.mask: jax.device_put(mask)}
+    jax.block_until_ready(store[B.hr])
+    return store
+
+
+class EpochIndexSampler:
+    """Shuffled drop-last epoch index batches (the DataLoader's sampling, minus data)."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True, seed: int = 42):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return self.n // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        for start in range(0, len(self) * self.batch_size, self.batch_size):
+            yield np.asarray(order[start : start + self.batch_size], np.int32)
+
+
 def device_prefetch(
     iterator: Iterator[Dict[str, np.ndarray]],
     sharding: Optional[Any] = None,

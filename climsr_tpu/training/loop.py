@@ -37,8 +37,9 @@ from climsr_tpu.config.schemas import (
     TaskConfig,
     TrainerConfig,
     TrainingConfig,
+    TransformsCfg,
 )
-from climsr_tpu.data.pipeline import VALID_KEY, DataLoader, device_prefetch
+from climsr_tpu.data.pipeline import VALID_KEY, DataLoader, RawTileLoader, device_prefetch
 from climsr_tpu.losses.perceptual import build_perceptual_loss
 from climsr_tpu.models import FUSION_GENERATORS, create_discriminator, create_generator
 from climsr_tpu.parallel.mesh import batch_sharding, create_mesh, put_replicated, replicated
@@ -99,13 +100,47 @@ class Trainer:
 
         # ---- data loaders -------------------------------------------------
         cfg = self.dm.cfg
-        self.train_loader = DataLoader(
-            self.dm.train_dataset,
-            batch_size=cfg.batch_size,
-            shuffle=True,
-            num_workers=cfg.num_workers,
-            seed=cfg.seed,
-        )
+        self.device_augment = trainer_cfg.device_augment
+        self.train_store = None
+        if self.device_augment:
+            t = cfg.transforms or TransformsCfg()
+            self._augment_kwargs = dict(
+                scale=cfg.scale_factor,
+                use_elevation=cfg.use_elevation,
+                use_mask=cfg.use_mask,
+                v_flip=t.v_flip,
+                h_flip=t.h_flip,
+                random_90_rotation=t.random_90_rotation,
+            )
+            n_tiles = len(self.dm.train_dataset)
+            hr_sz = self.dm.train_dataset.hr_size
+            est_bytes = n_tiles * hr_sz * hr_sz * 4 * 3  # hr + elev + mask, f32
+            use_store = trainer_cfg.device_resident_data is True or (
+                trainer_cfg.device_resident_data == "auto" and est_bytes <= trainer_cfg.device_store_max_bytes
+            )
+            if use_store:
+                from climsr_tpu.data.pipeline import EpochIndexSampler, build_device_store
+
+                logger.info("Device-resident tile store: %d tiles, ~%.2f GB HBM", n_tiles, est_bytes / 1e9)
+                self.train_store = build_device_store(self.dm.train_dataset, num_workers=cfg.num_workers)
+                self.train_loader = EpochIndexSampler(n_tiles, cfg.batch_size, shuffle=True, seed=cfg.seed)
+            else:
+                self.train_loader = RawTileLoader(
+                    self.dm.train_dataset,
+                    batch_size=cfg.batch_size,
+                    shuffle=True,
+                    num_workers=cfg.num_workers,
+                    seed=cfg.seed,
+                )
+        else:
+            self._augment_kwargs = None
+            self.train_loader = DataLoader(
+                self.dm.train_dataset,
+                batch_size=cfg.batch_size,
+                shuffle=True,
+                num_workers=cfg.num_workers,
+                seed=cfg.seed,
+            )
         self.val_loader = DataLoader(
             self.dm.val_dataset,
             batch_size=cfg.validation_batch_size,
@@ -194,6 +229,9 @@ class Trainer:
                 adversarial_weight=task_cfg.adversarial_loss_factor,
                 perceptual_fn=self.perceptual_fn,
                 compute_dtype=self.compute_dtype,
+                augment=self._augment_kwargs,
+                augment_seed=training_cfg.seed,
+                store=self.train_store,
             )
             self.gan_val_losses = make_gan_val_losses(
                 self.g_model, self.d_model, self.generator_type,
@@ -205,7 +243,9 @@ class Trainer:
             )
         else:
             self.train_step = make_pretrain_step(
-                self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype
+                self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype,
+                augment=self._augment_kwargs, augment_seed=training_cfg.seed,
+                store=self.train_store,
             )
 
         zmean = zstd = 0.0
@@ -310,16 +350,24 @@ class Trainer:
         tc = self.trainer_cfg
         self.train_loader.set_epoch(epoch)
         n_batches = self._limit(len(self.train_loader), tc.limit_train_batches)
-        it = device_prefetch(iter(self.train_loader), self.batch_sharding)
+        if self.train_store is not None:
+            it = iter(self.train_loader)  # index batches; data already on device
+        else:
+            it = device_prefetch(iter(self.train_loader), self.batch_sharding)
         t0 = time.time()
         samples = 0
         for i, batch in enumerate(it):
             if i >= n_batches:
                 break
-            batch.pop(VALID_KEY, None)
+            if isinstance(batch, dict):
+                batch.pop(VALID_KEY, None)
+                n_in_batch = batch[B.hr].shape[0]
+            else:
+                n_in_batch = batch.shape[0]
+                batch = jnp.asarray(batch)
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
-            samples += batch[B.hr].shape[0]
+            samples += n_in_batch
             if self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 if tc.terminate_on_nan and any(np.isnan(v) for v in host.values()):

@@ -52,8 +52,15 @@ def lr_range_test(
 
     gamma = math.exp(math.log(max_lr / min_lr) / max(1, num_steps - 1))
 
+    augment_kwargs = getattr(trainer, "_augment_kwargs", None)
+
     @jax.jit
     def step(params, opt_state, batch, lr):
+        if augment_kwargs is not None:
+            from climsr_tpu.ops.augment import augment_and_assemble
+
+            batch = augment_and_assemble(batch, jax.random.PRNGKey(0), gen_type, **augment_kwargs)
+
         def compute_loss(p):
             x = batch[B.lr].astype(trainer.compute_dtype)
             if gen_type in FUSION_GENERATORS:
@@ -74,10 +81,17 @@ def lr_range_test(
     lr = min_lr
 
     def cycling_batches():
+        import jax.numpy as jnp
+
         epoch = 0
+        store = getattr(trainer, "train_store", None)
         while True:
             trainer.train_loader.set_epoch(epoch)
-            yield from device_prefetch(iter(trainer.train_loader), trainer.batch_sharding)
+            if store is not None:
+                for idx in trainer.train_loader:
+                    yield {k: jnp.take(v, jnp.asarray(idx), axis=0) for k, v in store.items()}
+            else:
+                yield from device_prefetch(iter(trainer.train_loader), trainer.batch_sharding)
             epoch += 1
 
     i = 0

@@ -47,6 +47,9 @@ def make_gan_step(
     donate: bool = True,
     in_shardings: Any = None,
     out_shardings: Any = None,
+    augment: Optional[Dict] = None,
+    augment_seed: int = 0,
+    store: Optional[Dict] = None,
 ):
     def forward_g(g_params, batch):
         x = batch[B.lr].astype(compute_dtype)
@@ -68,6 +71,14 @@ def make_gan_step(
         return d_model.apply({"params": d_params}, x, train=True).astype(jnp.float32), None
 
     def step(state: GANTrainState, batch: Dict) -> Tuple[GANTrainState, Dict[str, jax.Array]]:
+        if store is not None:
+            indices = batch
+            batch = {k: jnp.take(v, indices, axis=0) for k, v in store.items()}
+        if augment is not None:
+            from climsr_tpu.ops.augment import augment_and_assemble
+
+            rng = jax.random.fold_in(jax.random.PRNGKey(augment_seed), state.step)
+            batch = augment_and_assemble(batch, rng, generator_type, **augment)
         hr = batch[B.hr].astype(jnp.float32)
 
         # ---- generator update -------------------------------------------

@@ -56,10 +56,29 @@ def make_pretrain_step(
     donate: bool = True,
     in_shardings: Any = None,
     out_shardings: Any = None,
+    augment: Optional[Dict] = None,
+    augment_seed: int = 0,
+    store: Optional[Dict] = None,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """``augment``: when set (dict of augment_and_assemble kwargs), the batch
+    carries raw {hr, elevation, mask} tiles and flips/rot90 + LR synthesis run
+    on device inside this step (ops/augment.py).
+
+    ``store``: device-resident tile store ({hr, elevation, mask} stacked on
+    HBM); the step then takes an int32 index vector instead of a batch and
+    gathers on device — zero per-step host transfer."""
     loss_fn = pixel_loss_fn(generator_type)
 
     def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if store is not None:
+            indices = batch
+            batch = {k: jnp.take(v, indices, axis=0) for k, v in store.items()}
+        if augment is not None:
+            from climsr_tpu.ops.augment import augment_and_assemble
+
+            rng = jax.random.fold_in(jax.random.PRNGKey(augment_seed), state.step)
+            batch = augment_and_assemble(batch, rng, generator_type, **augment)
+
         def compute_loss(params):
             sr = _forward(model, generator_type, params, batch, compute_dtype)
             return loss_fn(sr.astype(jnp.float32), batch[B.hr].astype(jnp.float32))

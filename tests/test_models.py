@@ -84,8 +84,9 @@ def test_discriminator_logits_shape():
 
 
 def test_rfb_discriminator_sigmoid_output(rng):
+    # 64x64 input: the adaptive pool to 14x14 makes the FC head size-invariant
     m = RFBESRGANDiscriminator(in_channels=1)
-    x = jnp.asarray(rng.normal(size=(N, HR_SIZE, HR_SIZE, 1)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(N, 64, 64, 1)).astype(np.float32))
     var = m.init(_rng(), x, train=False)
     out = m.apply(var, x, train=False)
     assert out.shape == (N, 1)

@@ -119,7 +119,7 @@ def test_gan_step_updates_both_and_tracks_bn(rng):
 
     g = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
     d = create_discriminator("rfb_esrgan", in_channels=1)
-    batch = _tiny_batch(rng, hr_size=128, lr_size=32)
+    batch = _tiny_batch(rng, hr_size=64, lr_size=16)
     g_var = g.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
     d_var = d.init(jax.random.PRNGKey(1), batch["hr"], train=False)
     cfg = OptimizerConfig(name="adam", lr=1e-4, weight_decay=0.0)
