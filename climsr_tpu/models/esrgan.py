@@ -59,6 +59,40 @@ class ResidualInResidualDenseBlock(nn.Module):
         return out * 0.2 + x
 
 
+class _Conv3Params(nn.Module):
+    """Parameter container matching nn.Conv's {kernel, bias} layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        from climsr_tpu.models.common import make_torch_bias_init, torch_conv_kernel_init
+
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, in_features, self.features))
+        bias = self.param("bias", make_torch_bias_init(9 * in_features), (self.features,))
+        return kernel, bias
+
+
+class FusedUpConv(nn.Module):
+    """nearest-2x-upsample + conv3x3 via exact phase decomposition.
+
+    Parameters live under ``<name>/Conv_0/{kernel,bias}`` — the same paths as
+    the naive ``TorchConv`` variant, so checkpoints are interchangeable
+    between ``fused_upsample`` settings.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from climsr_tpu.ops.fused_upsample_conv import nearest_up2_conv3
+
+        kernel, bias = _Conv3Params(self.features, name="Conv_0")(x.shape[-1])
+        dtype = self.dtype or x.dtype
+        return nearest_up2_conv3(x.astype(dtype), kernel.astype(dtype), bias.astype(dtype))
+
+
 class ESRGANGenerator(nn.Module):
     in_channels: int = 3  # config parity; flax infers from input
     out_channels: int = 3
@@ -67,7 +101,16 @@ class ESRGANGenerator(nn.Module):
     gc: int = 32
     scaling_factor: int = 4
     remat: bool = False
+    # compute upsample convs via exact phase decomposition on the LR grid
+    # (ops/fused_upsample_conv.py: 2.25x fewer MACs, no 4x intermediates);
+    # parameters and checkpoints are identical either way
+    fused_upsample: bool = True
     dtype: Optional[Dtype] = None
+
+    def _up_conv(self, fea: jax.Array, name: str) -> jax.Array:
+        if not self.fused_upsample:
+            return TorchConv(self.nf, kernel_size=3, dtype=self.dtype, name=name)(nearest_upsample(fea, 2))
+        return FusedUpConv(self.nf, dtype=self.dtype, name=name)(fea)
 
     @nn.compact
     def __call__(self, x: jax.Array, elev: jax.Array, mask: jax.Array) -> jax.Array:
@@ -83,9 +126,9 @@ class ESRGANGenerator(nn.Module):
         trunk = conv(self.nf, name="trunk_conv")(trunk)
         fea = fea + trunk
 
-        fea = leaky_relu(conv(self.nf, name="upconv1")(nearest_upsample(fea, 2)))
+        fea = leaky_relu(self._up_conv(fea, "upconv1"))
         if self.scaling_factor == 4:
-            fea = leaky_relu(conv(self.nf, name="upconv2")(nearest_upsample(fea, 2)))
+            fea = leaky_relu(self._up_conv(fea, "upconv2"))
 
         out = conv(self.out_channels, name="conv_last")(leaky_relu(conv(self.nf, name="HRconv")(fea)))
         out = SRCNN(in_channels=3, out_channels=self.out_channels, dtype=self.dtype, name="srcnn")(

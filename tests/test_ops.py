@@ -54,3 +54,41 @@ def test_pixel_unshuffle_inverts(rng):
     x = rng.normal(size=(2, 6, 6, 4)).astype(np.float32)
     y = pixel_unshuffle(pixel_shuffle(x, 2), 2)
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+def test_fused_upsample_conv_exact(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.ops.fused_upsample_conv import nearest_up2_conv3
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers((2, 18, 14, 5), w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(nearest_upsample(x, 2), w, (1, 1), "SAME", dimension_numbers=dn) + b
+    got = nearest_up2_conv3(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_esrgan_fused_upsample_checkpoint_interchange(rng):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as tu
+
+    from climsr_tpu.models import create_generator
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    e = jnp.zeros((1, 32, 32, 1))
+    m = jnp.ones((1, 32, 32, 1))
+    naive = create_generator("esrgan", nf=16, nb=1, gc=8, out_channels=1, fused_upsample=False)
+    fused = create_generator("esrgan", nf=16, nb=1, gc=8, out_channels=1, fused_upsample=True)
+    v = naive.init(key, x, e, m)
+    paths_naive = {tu.keystr(p) for p, _ in tu.tree_flatten_with_path(v["params"])[0]}
+    paths_fused = {tu.keystr(p) for p, _ in tu.tree_flatten_with_path(fused.init(key, x, e, m)["params"])[0]}
+    assert paths_naive == paths_fused
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(v, x, e, m)), np.asarray(naive.apply(v, x, e, m)), atol=1e-4
+    )
