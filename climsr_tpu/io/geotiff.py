@@ -359,5 +359,14 @@ def _read_via_pil(path) -> Tuple[np.ndarray, GeoProfile]:
 
 
 def read_raster(path: Union[str, Path]) -> np.ndarray:
-    """Array-only read (the dataset hot path)."""
+    """Array-only read (the dataset hot path): native C++ decoder when
+    available (climsr_tpu.native), Python codec otherwise."""
+    try:
+        from climsr_tpu.native import read_raster_native
+
+        arr = read_raster_native(path)
+        if arr is not None:
+            return arr
+    except Exception:  # native layer is strictly optional
+        pass
     return read_geotiff(path)[0]
