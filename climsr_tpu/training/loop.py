@@ -216,6 +216,23 @@ class Trainer:
             state = state.replace(**({"g_params": grafted} if self.is_gan else {"params": grafted}))
 
         self.state = put_replicated(state, self.mesh)
+        if trainer_cfg.shard_optimizer_state and self.mesh.devices.size > 1:
+            # ZeRO-1 analogue (reference fairscale/DeepSpeed plugin configs):
+            # scatter eligible optimizer-state leaves over the data axis; XLA
+            # inserts the gather/scatter collectives around the update.
+            from climsr_tpu.parallel.mesh import shard_leading_dim_if_divisible
+
+            def shard_opt(opt_state):
+                rules = shard_leading_dim_if_divisible(opt_state, self.mesh)
+                return jax.tree_util.tree_map(jax.device_put, opt_state, rules)
+
+            if self.is_gan:
+                self.state = self.state.replace(
+                    g_opt_state=shard_opt(self.state.g_opt_state),
+                    d_opt_state=shard_opt(self.state.d_opt_state),
+                )
+            else:
+                self.state = self.state.replace(opt_state=shard_opt(self.state.opt_state))
 
         # ---- compiled steps ------------------------------------------------
         if self.is_gan:
