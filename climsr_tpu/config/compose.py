@@ -28,7 +28,7 @@ import yaml
 
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
-GLOBAL_PACKAGE_GROUPS = {"experiment"}
+GLOBAL_PACKAGE_GROUPS = {"experiment", "plugins"}
 
 
 class ConfigError(ValueError):
