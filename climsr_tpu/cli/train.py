@@ -121,8 +121,23 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
     return last_val.get("hp_metric")
 
 
+def _maybe_init_distributed() -> None:
+    """Multi-host init (the reference's num_nodes knob): set
+    JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES, JAX_PROCESS_ID) and the mesh
+    spans all hosts' devices; the data axis rides DCN across hosts."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not os.environ.get("_CLIMSR_DIST_INITIALIZED"):
+        import jax
+
+        jax.distributed.initialize()
+        os.environ["_CLIMSR_DIST_INITIALIZED"] = "1"
+        logger.info("jax.distributed initialized: process %d/%d", jax.process_index(), jax.process_count())
+
+
 def main(argv: Optional[List[str]] = None) -> Optional[float]:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    _maybe_init_distributed()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(default_config_dir(), "config", overrides)
 

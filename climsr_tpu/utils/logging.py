@@ -54,15 +54,15 @@ class MetricLogger:
                 self._tb.add_scalar(k, v, step)
         if hasattr(self, "_csv_path"):
             fields = ["step"] + sorted(scalars)
-            if self._csv_writer is None or fields != self._csv_fields:
-                if self._csv_file:
-                    self._csv_file.close()
-                new = not self._csv_path.exists()
+            if self._csv_writer is None:
                 self._csv_file = open(self._csv_path, "a", newline="")
                 self._csv_writer = csv.writer(self._csv_file)
+            if fields != self._csv_fields:
+                # heterogeneous rows (train vs val metrics): emit a fresh
+                # header whenever the field set changes so every row is
+                # self-describing (pandas reads it with header=0 per section)
+                self._csv_writer.writerow(fields)
                 self._csv_fields = fields
-                if new:
-                    self._csv_writer.writerow(fields)
             self._csv_writer.writerow([step] + [scalars[k] for k in sorted(scalars)])
             self._csv_file.flush()
 
