@@ -192,6 +192,25 @@ def build_device_store(dataset, num_workers: int = 8, dtype=None) -> Dict[str, A
     return store
 
 
+def build_eval_device_store(dataset, num_workers: int = 8) -> Dict[str, Any]:
+    """Device-resident evaluation store: full val/test sample dicts stacked on HBM.
+
+    Batches are gathered on device by index — removes per-step host transfers
+    from the validation/test loops (matters on thin host-device links and for
+    every-epoch validation generally).
+    """
+    import jax
+
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        samples = list(pool.map(dataset.__getitem__, range(n)))
+    keep = [k for k in samples[0] if k not in ("nearest", "cubic", "elevation_lr")]
+    batch = collate([{k: s[k] for k in keep} for s in samples])
+    store = {k: jax.device_put(v) for k, v in batch.items()}
+    jax.block_until_ready(store["hr"])
+    return store
+
+
 class EpochIndexSampler:
     """Shuffled drop-last epoch index batches (the DataLoader's sampling, minus data)."""
 

@@ -154,6 +154,22 @@ class Trainer:
                        pad_last=True, num_workers=cfg.num_workers)
             for ds in self.dm.test_datasets
         ]
+        # device-resident eval stores (validation runs every epoch; keeping the
+        # val/test samples on HBM removes all per-step host transfers)
+        self._eval_stores: Dict[int, Dict] = {}
+        if self.train_store is not None:
+            import jax.numpy as _jnp
+
+            from climsr_tpu.data.pipeline import build_eval_device_store
+
+            self._eval_stores[id(self.val_loader)] = build_eval_device_store(
+                self.dm.val_dataset, num_workers=cfg.num_workers
+            )
+            for loader, ds in zip(self.test_loaders, self.dm.test_datasets):
+                self._eval_stores[id(loader)] = build_eval_device_store(ds, num_workers=cfg.num_workers)
+            self._gather_eval = jax.jit(
+                lambda store, idx: jax.tree_util.tree_map(lambda v: _jnp.take(v, idx, axis=0), store)
+            )
 
         # num_training_steps inference (reference task.py:62-83)
         accum = max(1, trainer_cfg.accumulate_grad_batches)
@@ -401,16 +417,33 @@ class Trainer:
             samples / max(time.time() - t0, 1e-9),
         )
 
+    def _eval_batches(self, loader):
+        """Yield (batch_on_device, n_valid) — from the HBM store when present."""
+        store = self._eval_stores.get(id(loader))
+        if store is None:
+            for batch in device_prefetch(iter(loader), self.batch_sharding):
+                yield batch, float(batch.pop(VALID_KEY))
+            return
+        import numpy as _np
+
+        n = len(loader.dataset)
+        bs = loader.batch_size
+        for start in range(0, n, bs):
+            idx = _np.arange(start, min(start + bs, n), dtype=_np.int32)
+            n_valid = float(len(idx))
+            if len(idx) < bs:  # pad to the compiled batch shape
+                idx = _np.concatenate([idx, _np.full(bs - len(idx), idx[-1], _np.int32)])
+            yield self._gather_eval(store, jnp.asarray(idx)), n_valid
+
     def _eval_loop(self, loader, prefix: str, extra_gan_losses: bool = False) -> Dict[str, float]:
         eval_step = self._eval_steps[prefix]
         n_batches = self._limit(len(loader), getattr(self.trainer_cfg, f"limit_{prefix}_batches", None))
         sums: Dict[str, float] = {}
         weights = 0.0
         params = self._generator_params()
-        for i, batch in enumerate(device_prefetch(iter(loader), self.batch_sharding)):
+        for i, (batch, n_valid) in enumerate(self._eval_batches(loader)):
             if i >= n_batches:
                 break
-            n_valid = float(batch.pop(VALID_KEY))
             metrics = eval_step(params, batch)
             if extra_gan_losses and self.is_gan:
                 metrics.update(self.gan_val_losses(self.state.g_params, self.state.d_params,
