@@ -43,12 +43,18 @@ logger = logging.getLogger(__name__)
 
 
 def load_generator(pretrained_model: str, generator_type: str, generator_kwargs: Optional[dict] = None):
-    """Load generator params from a checkpoint directory (strict=False analogue)."""
-    restored = restore_pytree(pretrained_model)
-    if isinstance(restored, dict):
-        params = restored.get("params") or restored.get("g_params") or restored
+    """Load generator params from an orbax checkpoint directory — or directly
+    from a reference PyTorch-Lightning ``.ckpt`` (strict=False analogue)."""
+    from climsr_tpu.interop.torch_import import is_torch_checkpoint, load_reference_generator_params
+
+    if is_torch_checkpoint(pretrained_model):
+        _, params = load_reference_generator_params(pretrained_model, generator_type)
     else:
-        params = getattr(restored, "params", None) or getattr(restored, "g_params")
+        restored = restore_pytree(pretrained_model)
+        if isinstance(restored, dict):
+            params = restored.get("params") or restored.get("g_params") or restored
+        else:
+            params = getattr(restored, "params", None) or getattr(restored, "g_params")
     model = create_generator(generator_type, dtype=jnp.bfloat16, **(generator_kwargs or {}))
     return model, params
 
@@ -104,10 +110,21 @@ def inference_on_full_images(
     else:
         extras = None
 
-    if tile_size:
+    # Auto-tile big frames: whole-frame SR of the 360x720 CRU-TS grid would
+    # allocate HR-sized 1-channel activations that XLA lane-pads 128x (63 MB
+    # -> 7.9 GB at batch 8, measured OOM); 128px overlap-tiles keep activations
+    # in MXU-friendly shapes and compile once.
+    lr_pixels = frames.shape[1] * frames.shape[2]
+    if tile_size is None and lr_pixels > 160 * 160:
+        tile_size = 128
+        logger.info("frame %dx%d: using overlap-tiled SR (tile=128, overlap=%d)",
+                    frames.shape[1], frames.shape[2], tile_overlap)
+
+    if tile_size and (frames.shape[1] > tile_size or frames.shape[2] > tile_size):
         tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
                         batch_size=batch_size * 8)
-        sr_frames = np.stack([tiler(frames[i], extras=extras) for i in range(n)])
+        tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
+        sr_frames = np.stack([tiler(frames[i]) for i in range(n)])
     else:
         sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
 

@@ -108,6 +108,11 @@ def ssim(
     """Structural similarity over NHWC batches (scalar mean over valid windows)."""
     preds = preds.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    if preds.shape[1] < kernel_size or preds.shape[2] < kernel_size:
+        raise ValueError(
+            f"ssim needs images >= {kernel_size}px (got {preds.shape[1]}x{preds.shape[2]}); "
+            "no valid windows would remain"
+        )
     if data_range is None:
         data_range = jnp.maximum(
             jnp.max(preds) - jnp.min(preds),

@@ -149,3 +149,85 @@ def test_result_inspection_compare(cruts_fixture):
     assert results.mae == 0.0 and results.rmse == 0.0
     frame = results.to_frame()
     assert len(frame) == 2
+
+
+@pytest.fixture()
+def europe_fixture(tmp_path, rng):
+    """Europe-extent world: LR GeoTIFF dir + stats table + HR elevation/mask."""
+    import pandas as pd
+
+    import climsr_tpu.consts as consts
+
+    D = consts.datasets_and_preprocessing
+    S = consts.stats
+    hr, scale = 64, 4
+    lr = hr // scale
+    rows = []
+    tiff_dir = tmp_path / "tiffs"
+    for m in range(3):
+        arr = rng.normal(10, 5, size=(lr, lr)).astype(np.float32)
+        name = f"cruts-tmp-1901-{m + 1:02d}-16.tif"
+        write_geotiff(tiff_dir / name, arr, GeoProfile.global_grid(lr, lr))
+        rows.append({D.filename: name, S.min: float(arr.min()), S.max: float(arr.max()),
+                     S.global_min: -20.0, S.global_max: 40.0})
+    mask = np.ones((hr, hr), np.float32)
+    mask[:8] = np.nan
+    write_geotiff(tmp_path / "mask.tif", mask, GeoProfile.global_grid(hr, hr))
+    write_geotiff(tmp_path / "elev.tif", rng.normal(500, 100, (hr, hr)).astype(np.float32),
+                  GeoProfile.global_grid(hr, hr, nodata=None))
+    return dict(tmp_path=tmp_path, tiff_dir=tiff_dir, df=pd.DataFrame(rows), hr=hr, lr=lr)
+
+
+def test_geotiff_inference_dataset_and_flow(europe_fixture, rng):
+    import jax
+
+    from climsr_tpu.inference.datasets import GeoTiffInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images
+    from climsr_tpu.models import create_generator
+
+    fx = europe_fixture
+    ds = GeoTiffInferenceDataset(
+        tiff_dir=str(fx["tiff_dir"]),
+        tiff_df=fx["df"],
+        variable="tmp",
+        elevation_file=str(fx["tmp_path"] / "elev.tif"),
+        land_mask_file=str(fx["tmp_path"] / "mask.tif"),
+        generator_type="esrgan",
+        hr_size=fx["hr"],
+        use_global_min_max=True,
+    )
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["lr"].shape == (fx["lr"], fx["lr"], 3)
+    assert float(item["min"]) == -20.0  # global min/max from the stats table
+
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, fx["lr"], fx["lr"], 3), np.float32),
+        np.zeros((1, fx["hr"], fx["hr"], 1), np.float32),
+        np.zeros((1, fx["hr"], fx["hr"], 1), np.float32),
+    )["params"]
+    out_dir = fx["tmp_path"] / "sr_out"
+    written = inference_on_full_images(model, params, ds, str(out_dir), "esrgan", batch_size=2)
+    assert len(written) == 3
+    arr, _ = read_geotiff(written[0])
+    assert arr.shape == (fx["hr"], fx["hr"])
+    assert np.isnan(arr[:8]).all()  # ocean masked
+
+
+def test_tiled_sr_with_extras_matches_whole_frame(rng):
+    """Overlap-tiled SR with HR-space conditioning == whole-frame for a local fn."""
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr, elev, mask):
+        return nearest_upsample(lr[..., :1], 4) + elev * 0.5
+
+    frame = rng.normal(size=(64, 64, 1)).astype(np.float32)
+    elev = rng.normal(size=(256, 256, 1)).astype(np.float32)
+    mask = np.ones((256, 256, 1), np.float32)
+    tiler = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    got = tiler(frame, extras=(elev, mask))
+    want = np.repeat(np.repeat(frame, 4, 0), 4, 1) + elev * 0.5
+    np.testing.assert_allclose(got, want, atol=1e-4)
