@@ -252,8 +252,14 @@ class Trainer:
 
         # ---- compiled steps ------------------------------------------------
         if self.is_gan:
-            self.perceptual_fn = build_perceptual_loss(
-                differentiable=task_cfg.differentiable_perceptual, compute_dtype=self.compute_dtype
+            # perceptual_loss_factor == 0 skips building the VGG19 graph entirely
+            # (16 convs at HR size — pure overhead when its weight is zero).
+            self.perceptual_fn = (
+                build_perceptual_loss(
+                    differentiable=task_cfg.differentiable_perceptual, compute_dtype=self.compute_dtype
+                )
+                if task_cfg.perceptual_loss_factor
+                else None
             )
             self.train_step = make_gan_step(
                 self.g_model, self.d_model, self.generator_type, self.g_tx, self.d_tx,
