@@ -89,12 +89,18 @@ def restore_generator_params(path, current_params: Any) -> Any:
     lenient tail handling): leaves present in both with matching shapes are
     copied, everything else keeps the fresh initialization.
     """
-    restored = restore_pytree(path)
-    # state may be a TrainState dict ({'params': ...}) or a GAN state ({'g_params': ...})
-    if isinstance(restored, dict):
-        source = restored.get("params") or restored.get("g_params") or restored
+    from climsr_tpu.interop.torch_import import is_torch_checkpoint, load_reference_generator_params
+
+    if is_torch_checkpoint(path):
+        # reference PL .ckpt: translate the torch weights, then graft as usual
+        _, source = load_reference_generator_params(path)
     else:
-        source = getattr(restored, "params", restored)
+        restored = restore_pytree(path)
+        # state may be a TrainState dict ({'params': ...}) or a GAN state ({'g_params': ...})
+        if isinstance(restored, dict):
+            source = restored.get("params") or restored.get("g_params") or restored
+        else:
+            source = getattr(restored, "params", restored)
 
     flat_src = dict(_flatten(source))
     out, n_copied, n_skipped = _graft(current_params, flat_src, prefix=())
