@@ -84,7 +84,9 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
     from climsr_tpu.training.callbacks import build_callbacks
 
     callback_names = cfg.get("callbacks")
-    if isinstance(callback_names, dict):
+    if isinstance(callback_names, str):
+        callback_names = [callback_names]  # callbacks=log_images (single select)
+    elif isinstance(callback_names, dict):
         callback_names = list(callback_names)
     trainer = Trainer(
         datamodule=datamodule,

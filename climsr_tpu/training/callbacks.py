@@ -153,9 +153,38 @@ class LearningRateMonitor:
         )
 
 
+class DeviceStatsMonitor:
+    """Logs accelerator memory stats each validation.
+
+    The reference's GPUStatsMonitor callback (``conf/callbacks/
+    gpu_stats_monitor.yaml``) samples nvidia-smi; the TPU-native equivalent
+    reads XLA's per-device allocator stats (HBM in-use / peak / limit).
+    """
+
+    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        import jax
+
+        stats = {}
+        for i, dev in enumerate(trainer.mesh.devices.flatten()):
+            m = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+            if not m:
+                continue
+            gib = 1 / 2**30
+            stats[f"device_stats/dev{i}/bytes_in_use_gib"] = m.get("bytes_in_use", 0) * gib
+            stats[f"device_stats/dev{i}/peak_bytes_in_use_gib"] = m.get("peak_bytes_in_use", 0) * gib
+            limit = m.get("bytes_limit")
+            if limit:
+                stats[f"device_stats/dev{i}/utilization"] = m.get("bytes_in_use", 0) / limit
+        if stats:
+            trainer.metric_logger.log_metrics(stats, trainer.global_step)
+        else:
+            logger.debug("device memory_stats unavailable on this platform")
+
+
 CALLBACK_REGISTRY = {
     "log_images": LogImagesCallback,
     "learning_rate_monitor": LearningRateMonitor,
+    "device_stats_monitor": DeviceStatsMonitor,
 }
 
 

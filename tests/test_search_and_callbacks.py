@@ -86,3 +86,31 @@ def test_make_grid_and_colorize():
     assert grid.shape == (16, 16, 3) and grid.dtype == np.uint8
     # masked region painted black
     assert grid[:4, :8].max() == 0
+
+
+def test_build_callbacks_and_device_stats_monitor():
+    from climsr_tpu.training.callbacks import DeviceStatsMonitor, build_callbacks
+
+    cbs = build_callbacks(["log_images", "device_stats_monitor", "early_stopping"])
+    assert any(isinstance(c, DeviceStatsMonitor) for c in cbs)
+    assert len(cbs) == 2  # early_stopping is a Trainer feature, not a callback
+
+    class _Logger:
+        logged = None
+
+        def log_metrics(self, metrics, step):
+            self.logged = metrics
+
+    class _Trainer:
+        import jax as _jax
+
+        mesh = type("M", (), {"devices": np.asarray(_jax.devices())})()
+        metric_logger = _Logger()
+        global_step = 7
+
+    mon = DeviceStatsMonitor()
+    mon.on_validation_end(_Trainer(), epoch=0, val_metrics={})
+    logged = _Trainer.metric_logger.logged
+    # CPU test devices may not expose allocator stats; if they do, keys must be well-formed
+    if logged is not None:
+        assert all(k.startswith("device_stats/dev") for k in logged)
