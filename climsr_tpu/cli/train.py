@@ -100,6 +100,7 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         workdir=run_dir,
         config_snapshot=cfg,
         callbacks=build_callbacks(callback_names),
+        logger_cfg=cfg.get("logger"),
     )
 
     last_val: Dict[str, float] = {}

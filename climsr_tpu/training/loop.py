@@ -76,6 +76,7 @@ class Trainer:
         workdir: Optional[str] = None,
         config_snapshot: Optional[Dict] = None,
         callbacks: Optional[List] = None,
+        logger_cfg=None,
     ):
         self.callbacks = callbacks or []
         self.dm = datamodule
@@ -92,7 +93,7 @@ class Trainer:
 
         self.workdir = Path(workdir or trainer_cfg.default_root_dir or "outputs/run")
         self.workdir.mkdir(parents=True, exist_ok=True)
-        self.metric_logger = MetricLogger(self.workdir)
+        self.metric_logger = MetricLogger.from_config(self.workdir, logger_cfg)
 
         self.compute_dtype = jnp.bfloat16 if trainer_cfg.precision == "bf16" else jnp.float32
         self.mesh = create_mesh(trainer_cfg.num_devices, tuple(trainer_cfg.mesh_axes))

@@ -23,7 +23,55 @@ def is_process_zero() -> bool:
 
 
 class MetricLogger:
-    """Fan-out logger: tensorboard + csv; no-op on non-zero processes."""
+    """Fan-out logger: tensorboard + csv (+ optional third-party trackers);
+    no-op on non-zero processes."""
+
+    @classmethod
+    def from_config(cls, log_dir: os.PathLike, spec) -> "MetricLogger":
+        """Build from the ``logger`` config group (``conf/logger/*``).
+
+        ``spec`` is the composed group value: a name string, a dict with
+        ``name`` (and extras like wandb's ``project``), or ``many_loggers``
+        with a ``loggers`` list. Third-party trackers (wandb/mlflow/neptune/
+        comet) are attempted by import and fall back to tensorboard+csv with
+        a warning when their package is absent.
+        """
+        if spec is None:
+            return cls(log_dir)
+        if isinstance(spec, str):
+            spec = {"name": spec}
+        names = [spec.get("name", "tensorboard")]
+        if names == ["many_loggers"]:
+            names = list(spec.get("loggers") or ["tensorboard", "csv"])
+        third_party = [n for n in names if n in ("wandb", "mlflow", "neptune", "comet")]
+        self = cls(
+            log_dir,
+            use_tensorboard="tensorboard" in names or bool(third_party),
+            use_csv=True,  # metrics.csv is the canonical machine-readable record
+        )
+        for name in third_party:
+            self._attach_third_party(name, spec)
+        return self
+
+    def _attach_third_party(self, name: str, spec) -> None:
+        if not self.enabled:
+            return
+        try:
+            if name == "wandb":
+                import wandb
+
+                run = wandb.init(project=spec.get("project", "climsr"), dir=str(self.log_dir), resume="allow")
+                self._third_party.append(("wandb", run))
+            elif name == "mlflow":
+                import mlflow
+
+                mlflow.set_experiment(spec.get("experiment_name", "climsr"))
+                mlflow.start_run()
+                self._third_party.append(("mlflow", mlflow))
+            else:  # neptune / comet
+                raise ImportError(f"{name} adapter requires the '{name}' package")
+        except Exception as e:
+            logger.warning("logger '%s' unavailable (%s); falling back to tensorboard+csv", name, e)
 
     def __init__(self, log_dir: os.PathLike, use_tensorboard: bool = True, use_csv: bool = True):
         self.log_dir = Path(log_dir)
@@ -32,6 +80,7 @@ class MetricLogger:
         self._csv_file = None
         self._csv_writer = None
         self._csv_fields = None
+        self._third_party = []
         if not self.enabled:
             return
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -52,6 +101,11 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
+        for kind, sink in self._third_party:
+            if kind == "wandb":
+                sink.log(scalars, step=step)
+            elif kind == "mlflow":
+                sink.log_metrics({k.replace("/", "."): v for k, v in scalars.items()}, step=step)
         if hasattr(self, "_csv_path"):
             fields = ["step"] + sorted(scalars)
             if self._csv_writer is None:
@@ -87,3 +141,11 @@ class MetricLogger:
             self._tb.close()
         if self._csv_file is not None:
             self._csv_file.close()
+        for kind, sink in self._third_party:
+            try:
+                if kind == "wandb":
+                    sink.finish()  # reference utils.py:116
+                elif kind == "mlflow":
+                    sink.end_run()
+            except Exception:  # teardown is best-effort
+                pass

@@ -114,3 +114,25 @@ def test_build_callbacks_and_device_stats_monitor():
     # CPU test devices may not expose allocator stats; if they do, keys must be well-formed
     if logged is not None:
         assert all(k.startswith("device_stats/dev") for k in logged)
+
+
+def test_metric_logger_from_config(tmp_path):
+    from climsr_tpu.utils.logging import MetricLogger
+
+    # csv-only: no tensorboard writer
+    ml = MetricLogger.from_config(tmp_path / "a", "csv")
+    assert ml._tb is None
+    ml.log_metrics({"train/loss": 1.0}, step=1)
+    ml.close()
+    assert (tmp_path / "a" / "metrics.csv").exists()
+
+    # wandb isn't installed: falls back to tensorboard+csv with a warning
+    ml = MetricLogger.from_config(tmp_path / "b", {"name": "wandb", "project": "p"})
+    assert ml._third_party == []
+    ml.close()
+
+    # many_loggers resolves its list
+    ml = MetricLogger.from_config(tmp_path / "c", {"name": "many_loggers", "loggers": ["tensorboard", "csv"]})
+    ml.log_metrics({"x": 2.0}, step=0)
+    ml.close()
+    assert (tmp_path / "c" / "metrics.csv").exists()
