@@ -19,7 +19,7 @@ training. All convs run in the module compute dtype (bf16 under training).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,19 +30,73 @@ from climsr_tpu.models.srcnn import SRCNN
 from climsr_tpu.ops.resize import nearest_upsample
 
 
+class SplitConcatConv(nn.Module):
+    """conv3x3 over an implicit concat, computed as a sum of per-part convs.
+
+    ``conv(concat(parts), W) == sum_i conv(parts[i], W[:, :, off_i:off_i+c_i])``
+    — mathematically identical (verified to 5e-6 in f32), skipping the concat
+    materialization and keeping each conv's contracting dimension MXU-aligned.
+
+    Honest benchmark note (v5e, nf=64, gc=16, bs=128 @ 32x32): at the whole-
+    model level this is perf-neutral — 16.0 ms/iter vs 15.8 ms/iter naive —
+    XLA already handles the concat+conv pattern well at these shapes. Kept as
+    an option (``concat_free=True``) because parameters are byte-identical
+    either way and the formulation can win at other channel configurations.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Any] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, parts) -> jax.Array:
+        cin = sum(p.shape[-1] for p in parts)
+        kernel, bias = _Conv3Params(self.features, self.use_bias, self.kernel_init, name="Conv_0")(cin)
+        dtype = self.dtype or parts[0].dtype
+        kernel = kernel.astype(dtype)
+        dn = jax.lax.conv_dimension_numbers(parts[0].shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                p.astype(dtype), kernel[:, :, off : off + c], (1, 1), "SAME", dimension_numbers=dn
+            )
+            out = y if out is None else out + y
+            off += c
+        return out if bias is None else out + bias.astype(dtype)
+
+
 class ResidualDenseBlock(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: Optional[Dtype] = None
+    # concat-free formulation (see SplitConcatConv); identical params either way
+    concat_free: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        conv = partial(TorchConv, kernel_size=3, dtype=self.dtype)
-        x1 = leaky_relu(conv(self.gc, name="conv1")(x))
-        x2 = leaky_relu(conv(self.gc, name="conv2")(jnp.concatenate([x, x1], axis=-1)))
-        x3 = leaky_relu(conv(self.gc, name="conv3")(jnp.concatenate([x, x1, x2], axis=-1)))
-        x4 = leaky_relu(conv(self.gc, name="conv4")(jnp.concatenate([x, x1, x2, x3], axis=-1)))
-        x5 = conv(self.nf, name="conv5")(jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+        if not self.concat_free:
+            conv = partial(TorchConv, kernel_size=3, dtype=self.dtype)
+            x1 = leaky_relu(conv(self.gc, name="conv1")(x))
+            x2 = leaky_relu(conv(self.gc, name="conv2")(jnp.concatenate([x, x1], axis=-1)))
+            x3 = leaky_relu(conv(self.gc, name="conv3")(jnp.concatenate([x, x1, x2], axis=-1)))
+            x4 = leaky_relu(conv(self.gc, name="conv4")(jnp.concatenate([x, x1, x2, x3], axis=-1)))
+            x5 = conv(self.nf, name="conv5")(jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+            return x5 * 0.2 + x
+        # keep x (nf channels, MXU-aligned) out of the growth concats; only the
+        # gc-sized growth slices are concatenated (16/32/48/64 channels)
+        scc = partial(SplitConcatConv, dtype=self.dtype)
+        x1 = leaky_relu(scc(self.gc, name="conv1")([x]))
+        g = x1
+        x2 = leaky_relu(scc(self.gc, name="conv2")([x, g]))
+        g = jnp.concatenate([g, x2], axis=-1)
+        x3 = leaky_relu(scc(self.gc, name="conv3")([x, g]))
+        g = jnp.concatenate([g, x3], axis=-1)
+        x4 = leaky_relu(scc(self.gc, name="conv4")([x, g]))
+        g = jnp.concatenate([g, x4], axis=-1)
+        x5 = scc(self.nf, name="conv5")([x, g])
         return x5 * 0.2 + x
 
 
@@ -50,12 +104,13 @@ class ResidualInResidualDenseBlock(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: Optional[Dtype] = None
+    concat_free: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, name="RDB1")(x)
-        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, name="RDB2")(out)
-        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, name="RDB3")(out)
+        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, self.concat_free, name="RDB1")(x)
+        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, self.concat_free, name="RDB2")(out)
+        out = ResidualDenseBlock(self.nf, self.gc, self.dtype, self.concat_free, name="RDB3")(out)
         return out * 0.2 + x
 
 
@@ -63,12 +118,18 @@ class _Conv3Params(nn.Module):
     """Parameter container matching nn.Conv's {kernel, bias} layout."""
 
     features: int
+    use_bias: bool = True
+    kernel_init: Optional[Any] = None
 
     @nn.compact
     def __call__(self, in_features: int):
         from climsr_tpu.models.common import make_torch_bias_init, torch_conv_kernel_init
 
-        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, in_features, self.features))
+        kernel = self.param(
+            "kernel", self.kernel_init or torch_conv_kernel_init, (3, 3, in_features, self.features)
+        )
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", make_torch_bias_init(9 * in_features), (self.features,))
         return kernel, bias
 
@@ -105,6 +166,9 @@ class ESRGANGenerator(nn.Module):
     # (ops/fused_upsample_conv.py: 2.25x fewer MACs, no 4x intermediates);
     # parameters and checkpoints are identical either way
     fused_upsample: bool = True
+    # concat-free RDB convs (SplitConcatConv): identical params/checkpoints,
+    # measured perf-neutral on v5e at the flagship config (see SplitConcatConv)
+    concat_free: bool = False
     dtype: Optional[Dtype] = None
 
     def _up_conv(self, fea: jax.Array, name: str) -> jax.Array:
@@ -122,7 +186,7 @@ class ESRGANGenerator(nn.Module):
         fea = conv(self.nf, name="conv_first")(x)
         trunk = fea
         for i in range(self.nb):
-            trunk = block_cls(self.nf, self.gc, self.dtype, name=f"RRDB_trunk_{i}")(trunk)
+            trunk = block_cls(self.nf, self.gc, self.dtype, self.concat_free, name=f"RRDB_trunk_{i}")(trunk)
         trunk = conv(self.nf, name="trunk_conv")(trunk)
         fea = fea + trunk
 

@@ -133,3 +133,24 @@ def test_esrgan_bf16_compute_f32_params():
     assert all(p.dtype == jnp.float32 for p in leaves)
     out = m.apply(var, x, elev, mask)
     assert out.dtype == jnp.bfloat16
+
+
+def test_esrgan_concat_free_matches_naive(rng):
+    """SplitConcatConv RDB == naive concat RDB: same param tree, same numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.models import create_generator
+
+    kw = dict(nf=16, nb=2, gc=8, out_channels=1)
+    fast = create_generator("esrgan", concat_free=True, **kw)
+    naive = create_generator("esrgan", concat_free=False, **kw)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    elev = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    mask = jnp.ones((2, 32, 32, 1), np.float32)
+    params = fast.init(jax.random.PRNGKey(0), x, elev, mask)["params"]
+    p2 = naive.init(jax.random.PRNGKey(0), x, elev, mask)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    a = fast.apply({"params": params}, x, elev, mask)
+    b = naive.apply({"params": params}, x, elev, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
