@@ -405,6 +405,80 @@ def load_reference_generator_params(
     return gt, import_generator_params(gt, gen_sd, strict=strict)
 
 
+def _get_path(tree: dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_generator_params(generator_type: str, params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_generator_params`: flax params -> a reference-
+    style torch state_dict (plain numpy arrays, reference key names/layouts).
+
+    Useful for moving models back to the reference framework or comparing
+    against torch implementations. Round-trip
+    ``import(export(params)) == params`` is exact.
+    """
+    if generator_type not in _GENERATOR_SPECS:
+        raise NotImplementedError(f"export for '{generator_type}' not implemented")
+    # build a probe sd from the params tree so size-inferring specs work
+    probe: Dict[str, np.ndarray] = {}
+    if generator_type == "esrgan":
+        i = 0
+        while _get_path(params, f"RRDB_trunk_{i}"):
+            probe[f"RRDB_trunk.{i}.RDB1.conv1.weight"] = None
+            i += 1
+        if _get_path(params, "upconv2"):
+            probe["upconv2.weight"] = None
+    elif generator_type == "rcan":
+        g = 0
+        while _get_path(params, f"group_{g}"):
+            b = 0
+            while _get_path(params, f"group_{g}/rcab_{b}"):
+                probe[f"body.{g}.body.{b}.body.0.weight"] = None
+                b += 1
+            g += 1
+        k = 0
+        while _get_path(params, f"upsampler/conv_{k}"):
+            probe[f"tail.0.{2 * k}.weight"] = None
+            k += 1
+    elif generator_type == "drln":
+        k = 0
+        while _get_path(params, f"upsample/conv_{k}"):
+            probe[f"upsample.up.body.{3 * k}.weight"] = None
+            k += 1
+    elif generator_type == "rfb_esrgan":
+        for flax_prefix, torch_tpl in (
+            ("trunk_a_", "Trunk_A.{i}.RDB1.conv1.0.weight"),
+            ("trunk_rfb_", "Trunk_RFB.{i}.RFDB1.RFB1.shortcut.weight"),
+        ):
+            i = 0
+            while _get_path(params, f"{flax_prefix}{i}"):
+                probe[torch_tpl.format(i=i)] = None
+                i += 1
+        b = 0
+        while _get_path(params, f"up_{b}_rfb1"):
+            probe[f"upsampling.{6 * b + 5}.weight"] = None
+            b += 1
+    spec = _GENERATOR_SPECS[generator_type](probe)
+    sd: Dict[str, np.ndarray] = {}
+    for tk, fp, kind in spec:
+        if kind == "ignore":
+            continue
+        container = "Conv_0" if kind == "conv" else "Dense_0"
+        leaf = _get_path(params, f"{fp}/{container}")
+        if leaf is None:
+            raise KeyError(f"params tree is missing {fp}/{container} (expected by '{generator_type}' layout)")
+        w = np.asarray(leaf["kernel"], np.float32)
+        sd[f"{tk}.weight"] = np.transpose(w, (3, 2, 0, 1)) if kind == "conv" else np.transpose(w)
+        if "bias" in leaf:
+            sd[f"{tk}.bias"] = np.asarray(leaf["bias"], np.float32)
+    return sd
+
+
 def import_discriminator_params(
     sd: Dict[str, np.ndarray],
     model=None,

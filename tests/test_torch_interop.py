@@ -226,3 +226,27 @@ def test_import_strict_errors(rng):
         import_generator_params("srcnn", sd, strict=True)
     params = import_generator_params("srcnn", sd, strict=False)
     assert "conv1" in params
+
+
+@pytest.mark.parametrize("gtype,kwargs,inputs_shape", [
+    ("srcnn", dict(in_channels=3, out_channels=1), [(1, 16, 16, 3)]),
+    ("esrgan", dict(nf=16, nb=2, gc=8, out_channels=1), [(1, 8, 8, 3), (1, 32, 32, 1), (1, 32, 32, 1)]),
+    ("rcan", dict(n_resgroups=2, n_resblocks=2, n_feats=16, reduction=4, out_channels=1),
+     [(1, 8, 8, 3), (1, 32, 32, 1), (1, 32, 32, 1)]),
+    ("drln", dict(channels=16, out_channels=1), [(1, 8, 8, 1)]),
+    ("rfb_esrgan", dict(num_rrdb_blocks=1, num_rrfdb_blocks=1, out_channels=1), [(1, 8, 8, 3)]),
+])
+def test_export_import_roundtrip(rng, gtype, kwargs, inputs_shape):
+    from climsr_tpu.interop.torch_import import export_generator_params
+
+    model = create_generator(gtype, **kwargs)
+    inputs = tuple(jnp.zeros(s) for s in inputs_shape)
+    params = model.init(jax.random.PRNGKey(1), *inputs)["params"]
+    sd = export_generator_params(gtype, params)
+    # drln's dead c4 is import-ignored, so strict import tolerates its absence on export
+    back = import_generator_params(gtype, sd, model=model, example_inputs=inputs, strict=True)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
