@@ -51,6 +51,11 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
 
     training_cfg = from_dict(TrainingConfig, cfg.get("training")) or TrainingConfig()
     trainer_cfg = from_dict(TrainerConfig, cfg.get("trainer")) or TrainerConfig()
+    # profiler config group (profiler=jax/simple/...) maps onto the trainer flag,
+    # mirroring the reference's hydra profiler group -> pl.Trainer(profiler=...)
+    prof = cfg.get("profiler")
+    if prof and not trainer_cfg.profiler:
+        trainer_cfg.profiler = prof.get("name") if isinstance(prof, dict) else str(prof)
     task_cfg = from_dict(TaskConfig, cfg.get("task")) or TaskConfig()
     data_cfg = from_dict(SuperResolutionDataConfig, (cfg.get("datamodule") or {}).get("cfg"))
     generator_cfg = from_dict(GeneratorConfig, cfg.get("generator"))

@@ -355,16 +355,41 @@ class Trainer:
 
             with jprof.trace(str(self.workdir / self.trainer_cfg.profiler_dir)):
                 return self._fit_impl()
+        if self.trainer_cfg.profiler in ("simple", "advanced", "pytorch"):
+            # per-stage wall-time table, the SimpleProfiler analogue;
+            # "advanced"/"pytorch" map here too (their torch-specific detail
+            # has no TPU meaning — use profiler=jax for a device trace)
+            self._stage_times: Dict[str, float] = {}
+            try:
+                return self._fit_impl()
+            finally:
+                total = sum(self._stage_times.values()) or 1.0
+                lines = [
+                    f"  {name:<16} {secs:8.2f}s  {secs / total * 100:5.1f}%"
+                    for name, secs in sorted(self._stage_times.items(), key=lambda kv: -kv[1])
+                ]
+                logger.info("Profiler report (wall time by stage):\n%s", "\n".join(lines))
+                self._stage_times = None
         return self._fit_impl()
+
+    def _staged(self, name: str, fn, *args):
+        times = getattr(self, "_stage_times", None)
+        if times is None:
+            return fn(*args)
+        t0 = time.time()
+        try:
+            return fn(*args)
+        finally:
+            times[name] = times.get(name, 0.0) + (time.time() - t0)
 
     def _fit_impl(self) -> Dict[str, float]:
         tc = self.trainer_cfg
         last_val: Dict[str, float] = {}
         max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
         for epoch in range(max_epochs):
-            self.train_epoch(epoch)
+            self._staged("train_epoch", self.train_epoch, epoch)
             if (epoch + 1) % tc.check_val_every_n_epoch == 0 or epoch == max_epochs - 1:
-                last_val = self.validate(epoch)
+                last_val = self._staged("validate", self.validate, epoch)
                 hp_metric = last_val.get("hp_metric")
                 self.ckpt.save(
                     self.global_step,

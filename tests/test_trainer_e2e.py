@@ -30,6 +30,7 @@ def test_cli_fit_validate_test_checkpoint(tiny_world, tmp_path):
         "trainer.limit_test_batches=1",
         "trainer.save_top_k=2",
         "trainer.log_every_n_steps=2",
+        "profiler=simple",  # exercises the stage-timing profiler wrapper
         "print_config=false",
         f"training.output_dir={tmp_path}",
     ])
