@@ -307,6 +307,18 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
             return _packbits_decode(chunk)
         raise ValueError(f"{path}: unsupported TIFF compression {compression}")
 
+    if predictor == 3:
+        raise ValueError(f"{path}: floating-point predictor not supported")
+
+    def unpredict(chunk: np.ndarray) -> np.ndarray:
+        # TIFF predictor 2: horizontal differencing resets at the start of each
+        # row of each *chunk* (tile or strip), so it must be undone per decoded
+        # chunk before assembly — a whole-image cumsum is wrong for tiled files
+        # (every pixel right of the first tile column would keep the deltas).
+        if predictor == 2:
+            return np.cumsum(chunk.astype(np.int64), axis=1).astype(dtype)
+        return chunk
+
     if _TILE_OFFSETS in tags:
         tw = tags[_TILE_WIDTH][0]
         th = tags[_TILE_LENGTH][0]
@@ -315,7 +327,7 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
         tiles_across = (w + tw - 1) // tw
         arr = np.zeros((h, w), dtype=dtype)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = np.frombuffer(decode(buf[off : off + cnt]), dtype=dtype).reshape(th, tw)
+            tile = unpredict(np.frombuffer(decode(buf[off : off + cnt]), dtype=dtype).reshape(th, tw))
             ty, tx = divmod(idx, tiles_across)
             y0, x0 = ty * th, tx * tw
             arr[y0 : min(y0 + th, h), x0 : min(x0 + tw, w)] = tile[: min(th, h - y0), : min(tw, w - x0)]
@@ -323,12 +335,9 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
         raw = b"".join(decode(buf[o : o + c]) for o, c in zip(offsets, counts))
-        arr = np.frombuffer(raw, dtype=dtype).reshape(h, w)
-
-    if predictor == 2:
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
-    elif predictor == 3:
-        raise ValueError(f"{path}: floating-point predictor not supported")
+        # Strips always hold whole rows, so per-row cumsum over the assembled
+        # array is the per-chunk un-differencing.
+        arr = unpredict(np.frombuffer(raw, dtype=dtype).reshape(h, w))
 
     arr = arr.astype(arr.dtype.newbyteorder("="))
 

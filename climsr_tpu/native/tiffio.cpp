@@ -33,6 +33,7 @@ constexpr uint16_t kCompression = 259;
 constexpr uint16_t kStripOffsets = 273;
 constexpr uint16_t kSamplesPerPixel = 277;
 constexpr uint16_t kStripByteCounts = 279;
+constexpr uint16_t kPredictor = 317;
 constexpr uint16_t kSampleFormat = 339;
 
 size_t type_size(uint16_t t) {
@@ -79,7 +80,8 @@ int decode_tiff_f32_impl(const uint8_t* buf, size_t n, float* out, int32_t* out_
     uint16_t ntags = rd<uint16_t>(buf + ifd);
     if (ifd + 2 + ntags * 12ull > n) return 3;
 
-    uint32_t width = 0, height = 0, bits = 32, compression = 1, spp = 1, sample_format = 1;
+    uint32_t width = 0, height = 0, bits = 32, compression = 1, spp = 1, sample_format = 1,
+             predictor = 1;
     std::vector<uint32_t> strip_offsets, strip_counts;
 
     for (uint16_t i = 0; i < ntags; ++i) {
@@ -104,6 +106,7 @@ int decode_tiff_f32_impl(const uint8_t* buf, size_t n, float* out, int32_t* out_
             case kCompression: compression = scalar; break;
             case kSamplesPerPixel: spp = scalar; break;
             case kSampleFormat: sample_format = scalar; break;
+            case kPredictor: predictor = scalar; break;
             case kStripOffsets:
                 if (!values_u32(strip_offsets)) return 3;
                 break;
@@ -140,6 +143,30 @@ int decode_tiff_f32_impl(const uint8_t* buf, size_t n, float* out, int32_t* out_
         }
     }
     if (raw.size() != expected) return 7;
+
+    // TIFF predictor (tag 317). This decoder only reads strip files, and
+    // strips hold whole rows, so horizontal differencing (predictor 2) is
+    // undone with a per-row prefix sum over the assembled raster. The
+    // floating-point predictor (3) needs a byte de-interleave — defer to the
+    // Python codec (which rejects it explicitly) rather than decode garbage.
+    if (predictor == 2) {
+        if (sample_format == 1 && bits == 8) {
+            for (uint32_t y = 0; y < height; ++y) {
+                uint8_t* row = raw.data() + static_cast<size_t>(y) * width;
+                for (uint32_t x = 1; x < width; ++x) row[x] = static_cast<uint8_t>(row[x] + row[x - 1]);
+            }
+        } else if (sample_format == 2 && bits == 16) {
+            for (uint32_t y = 0; y < height; ++y) {
+                int16_t* row = reinterpret_cast<int16_t*>(raw.data()) + static_cast<size_t>(y) * width;
+                for (uint32_t x = 1; x < width; ++x)
+                    row[x] = static_cast<int16_t>(static_cast<uint16_t>(row[x]) + static_cast<uint16_t>(row[x - 1]));
+            }
+        } else {
+            return 11;  // predictor-2 on a sample type we don't un-difference
+        }
+    } else if (predictor != 1) {
+        return 11;  // unknown / float predictor -> Python fallback
+    }
 
     size_t count = static_cast<size_t>(width) * height;
     if (sample_format == 3 && bits == 32) {

@@ -96,6 +96,11 @@ class Trainer:
         self.metric_logger = MetricLogger.from_config(self.workdir, logger_cfg)
 
         self.compute_dtype = jnp.bfloat16 if trainer_cfg.precision == "bf16" else jnp.float32
+        if trainer_cfg.deterministic:
+            # Reference pl.Trainer(deterministic=True) analogue: pin matmul /
+            # conv accumulation to full precision so results are bit-stable
+            # across runs and independent of XLA's precision autotuning.
+            jax.config.update("jax_default_matmul_precision", "highest")
         self.mesh = create_mesh(trainer_cfg.num_devices, tuple(trainer_cfg.mesh_axes))
         self.batch_sharding = batch_sharding(self.mesh)
 
@@ -174,9 +179,10 @@ class Trainer:
 
         # num_training_steps inference (reference task.py:62-83)
         accum = max(1, trainer_cfg.accumulate_grad_batches)
-        steps_per_epoch = len(self.train_loader)
-        if trainer_cfg.limit_train_batches:
-            steps_per_epoch = min(steps_per_epoch, int(trainer_cfg.limit_train_batches))
+        self._accum = accum
+        # Float limits <= 1.0 are fractions of the loader (_limit() / reference
+        # pl.Trainer semantics); an int(0.5) here would zero out every schedule.
+        steps_per_epoch = self._limit_len(len(self.train_loader), trainer_cfg.limit_train_batches)
         self.steps_per_epoch = steps_per_epoch
         self.num_training_steps = (steps_per_epoch // accum) * trainer_cfg.max_epochs
         if trainer_cfg.max_steps and -1 < trainer_cfg.max_steps < self.num_training_steps:
@@ -341,6 +347,10 @@ class Trainer:
     def _limit(self, loader_len: int, limit) -> int:
         if self.trainer_cfg.fast_dev_run:
             return min(loader_len, 2)
+        return self._limit_len(loader_len, limit)
+
+    @staticmethod
+    def _limit_len(loader_len: int, limit) -> int:
         if limit is None:
             return loader_len
         if isinstance(limit, float) and limit <= 1.0:
@@ -439,7 +449,10 @@ class Trainer:
                     raise FloatingPointError(f"NaN in training metrics at step {self.global_step}: {host}")
                 dt = time.time() - t0
                 host["train/samples_per_sec"] = samples / max(dt, 1e-9)
-                host["lr"] = float(self.g_schedule(self.global_step))
+                # optax.MultiSteps advances the schedule once per *optimizer*
+                # step, so divide out the micro-batch count or the logged LR
+                # runs ahead of the true schedule by accum x.
+                host["lr"] = float(self.g_schedule(self.global_step // self._accum))
                 self.metric_logger.log_metrics(host, self.global_step)
             if tc.max_steps and self.global_step >= tc.max_steps:
                 break
@@ -476,6 +489,14 @@ class Trainer:
         for i, (batch, n_valid) in enumerate(self._eval_batches(loader)):
             if i >= n_batches:
                 break
+            # Padded tail batch: evaluate only the valid prefix so duplicated
+            # samples don't bias the epoch mean (the weighting below is then
+            # exact). Costs one extra jit specialization per tail shape,
+            # cached across epochs — the reference likewise runs the natural-
+            # size tail batch (torch DataLoader drop_last=False).
+            nv = int(n_valid)
+            if isinstance(batch, dict) and nv < jax.tree_util.tree_leaves(batch)[0].shape[0]:
+                batch = {k: v[:nv] for k, v in batch.items()}
             metrics = eval_step(params, batch)
             if extra_gan_losses and self.is_gan:
                 metrics.update(self.gan_val_losses(self.state.g_params, self.state.d_params,

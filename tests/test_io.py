@@ -88,3 +88,102 @@ def test_netcdf_bad_variable(tmp_path, rng):
     write_climate_series(fp, series)
     with pytest.raises(KeyError):
         read_climate_series(fp, "tmp")
+
+
+# --- TIFF predictor-2 regression fixtures (hand-rolled minimal TIFFs) -------
+# GDAL-produced int16 rasters (WorldClim elevation) commonly ship with
+# predictor=2 horizontal differencing; reference behavior is rasterio's
+# (libtiff) decode. Differencing resets at each row of each chunk, so tiled
+# files must be un-differenced per tile — regression for a bug where one
+# whole-image cumsum corrupted every pixel right of the first tile column.
+import struct as _struct
+
+
+def _pred2_encode_rows(chunk: np.ndarray) -> bytes:
+    enc = chunk.astype(np.int64)
+    enc = np.concatenate([enc[:, :1], np.diff(enc, axis=1)], axis=1)
+    return enc.astype("<i2").tobytes()
+
+
+def _write_tiff_i16_pred2(fp, arr: np.ndarray, tile: int = 0) -> None:
+    """Minimal little-endian TIFF: int16, uncompressed, predictor=2.
+
+    tile=0 writes one strip per row; tile>0 writes tile×tile tiles.
+    """
+    h, w = arr.shape
+    entries = []  # (tag, type, count, value) -- type 3=SHORT 4=LONG
+    chunks = []
+    if tile:
+        th = tw = tile
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw), np.int64)
+                sub = arr[ty : ty + th, tx : tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(_pred2_encode_rows(block))
+    else:
+        chunks = [_pred2_encode_rows(arr[y : y + 1]) for y in range(h)]
+
+    n = len(chunks)
+    header = 8
+    data_off = header
+    offsets = []
+    for c in chunks:
+        offsets.append(data_off)
+        data_off += len(c)
+    # offset arrays (LONG) live after pixel data when n > 1
+    extra = b""
+    off_array_pos = data_off
+    if n > 1:
+        extra += b"".join(_struct.pack("<I", o) for o in offsets)
+        counts_pos = off_array_pos + 4 * n
+        extra += b"".join(_struct.pack("<I", len(c)) for c in chunks)
+        ifd_off = counts_pos + 4 * n
+    else:
+        ifd_off = data_off
+
+    def tag(tid, typ, count, value):
+        entries.append(_struct.pack("<HHI", tid, typ, count) + _struct.pack("<I", value))
+
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, 16)
+    tag(259, 3, 1, 1)  # uncompressed
+    tag(277, 3, 1, 1)  # samples per pixel
+    if not tile:
+        tag(278, 4, 1, 1)  # rows per strip
+    if tile:
+        tag(322, 4, 1, tile)
+        tag(323, 4, 1, tile)
+        tag(324, 4, n, offsets[0] if n == 1 else off_array_pos)
+        tag(325, 4, n, len(chunks[0]) if n == 1 else off_array_pos + 4 * n)
+    else:
+        tag(273, 4, n, offsets[0] if n == 1 else off_array_pos)
+        tag(279, 4, n, len(chunks[0]) if n == 1 else off_array_pos + 4 * n)
+    tag(317, 3, 1, 2)  # predictor = horizontal differencing
+    tag(339, 3, 1, 2)  # sample format = signed int
+    entries.sort(key=lambda e: _struct.unpack("<H", e[:2])[0])
+
+    ifd = _struct.pack("<H", len(entries)) + b"".join(entries) + _struct.pack("<I", 0)
+    with open(fp, "wb") as f:
+        f.write(b"II" + _struct.pack("<HI", 42, ifd_off))
+        for c in chunks:
+            f.write(c)
+        f.write(extra)
+        f.write(ifd)
+
+
+def test_geotiff_predictor2_strips(tmp_path, rng):
+    arr = rng.integers(-3000, 6000, size=(32, 48)).astype(np.int16)
+    fp = tmp_path / "p2_strips.tif"
+    _write_tiff_i16_pred2(fp, arr, tile=0)
+    back, _ = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_geotiff_predictor2_tiled(tmp_path, rng):
+    arr = rng.integers(-3000, 6000, size=(40, 56)).astype(np.int16)
+    fp = tmp_path / "p2_tiled.tif"
+    _write_tiff_i16_pred2(fp, arr, tile=16)
+    back, _ = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)

@@ -65,3 +65,19 @@ def test_native_batch_decode(tmp_path, rng):
     assert status[10] != 0  # missing file flagged, not crashed
     for i in range(10):
         np.testing.assert_array_equal(tiles[i], arrays[i])
+
+
+def test_native_predictor2_strip_decode(tmp_path, rng):
+    """Native decoder must un-difference predictor-2 int16 strip files (or
+    refuse), never return raw deltas as pixels (regression: tag 317 ignored)."""
+    from tests.test_io import _write_tiff_i16_pred2
+
+    arr = rng.integers(-3000, 6000, size=(24, 32)).astype(np.int16)
+    fp = tmp_path / "p2.tif"
+    _write_tiff_i16_pred2(fp, arr, tile=0)
+    got = read_raster_native(fp)
+    if got is not None:  # decoded natively -> must be un-differenced
+        np.testing.assert_array_equal(got, arr.astype(np.float32))
+    # either way the full read path must be correct
+    back, _ = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)
