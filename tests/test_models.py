@@ -65,6 +65,7 @@ def test_drln_shapes():
     assert out.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.e2e
 def test_rfb_esrgan_generator_shapes():
     m = RFBESRGANGenerator(out_channels=1, num_rrdb_blocks=1, num_rrfdb_blocks=1)
     x = jnp.zeros((1, 8, 8, 3))

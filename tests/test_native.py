@@ -70,7 +70,7 @@ def test_native_batch_decode(tmp_path, rng):
 def test_native_predictor2_strip_decode(tmp_path, rng):
     """Native decoder must un-difference predictor-2 int16 strip files (or
     refuse), never return raw deltas as pixels (regression: tag 317 ignored)."""
-    from tests.test_io import _write_tiff_i16_pred2
+    from test_io import _write_tiff_i16_pred2  # tests/ dir is on sys.path under pytest
 
     arr = rng.integers(-3000, 6000, size=(24, 32)).astype(np.int16)
     fp = tmp_path / "p2.tif"

@@ -84,6 +84,7 @@ def test_zero1_opt_state_sharding_rules(mesh):
     assert rules["odd"].spec == P()
 
 
+@pytest.mark.e2e
 def test_dp_train_step_on_mesh(mesh, rng):
     """Full pretrain step with batch sharded over 8 devices + sharded opt state."""
     import optax

@@ -7,6 +7,8 @@ import glob
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 from climsr_tpu.data.synthetic import make_synthetic_dataset
 
 

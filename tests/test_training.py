@@ -113,6 +113,7 @@ def test_pretrain_step_reduces_loss(rng):
     assert int(state.step) == 15
 
 
+@pytest.mark.e2e
 def test_gan_step_updates_both_and_tracks_bn(rng):
     from climsr_tpu.models import create_discriminator, create_generator
     from climsr_tpu.training.tasks.gan import make_gan_step
