@@ -45,7 +45,9 @@ def main() -> None:
     from climsr_tpu.models import create_generator
     from climsr_tpu.ops.resize import nearest_downsample
 
-    model = create_generator("esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16)
+    model = create_generator(
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=True
+    )
     rngk = jax.random.PRNGKey(0)
     variables = model.init(
         rngk,

@@ -206,6 +206,10 @@ class GeneratorConfig:
     reduction: int = 16
     num_rrdb_blocks: int = 16
     num_rrfdb_blocks: int = 8
+    # Fused Pallas TPU kernels for the ESRGAN RRDB trunk (ops/pallas/rdb.py).
+    # None = auto: enabled on the TPU backend, off elsewhere. Parameters and
+    # checkpoints are identical either way; other families ignore the flag.
+    use_pallas: Optional[bool] = None
 
 
 @dataclass

@@ -1,35 +1,53 @@
 # -*- coding: utf-8 -*-
-"""Pallas TPU kernel: fused ResidualDenseBlock (5 convs + concat growth in VMEM).
+"""Pallas TPU kernels: fused ResidualDenseBlock (5 convs + concat growth in VMEM).
 
-Motivation (measured, see git history): the ESRGAN forward is HBM-bandwidth
-bound — XLA's lowering of the dense-growth pattern materializes the widening
-``concat([x, x1, ..])`` activations in HBM, giving ~160 MB of traffic per RDB
-at batch 128 where ~34 MB (read x + write out) is sufficient. This kernel
-keeps the whole block's feature map in a VMEM scratch:
+Measured on a v5e chip (bf16, nf=64 gc=16, batch 128, 32x32 — the flagship
+training shape):
 
-- grid over the batch; each program owns ``BT`` images,
-- one zero-padded scratch ``feat`` of (BT, H+2, W+2, 64 + 4*gc) channels —
-  the concat exists only in VMEM; growth convs just widen the channel slice,
-- each 3x3 conv = 9 shifted (BT*H*W, Cin) x (Cin, Cout) MXU matmuls with f32
-  accumulation, LeakyReLU(0.2) fused on the growth outputs,
-- residual ``x + 0.2 * conv5`` fused into the single HBM write.
+- XLA, standalone dependency-chained RDB: 686 us/RDB.
+- XLA, inside the full ESRGAN model: **313 us/RDB** (XLA fuses the concat
+  pattern across blocks far better in context than standalone).
+- v2 kernel below (NHWC layout, tap-column matmuls): 1675 us — VPU-bound on
+  gc=16-lane slice reductions; kept for reference/tests.
+- v3 kernel (``fused_rdb_t``, transposed layout): **312 us/RDB at bt=2
+  (53% MFU)** — matches the MXU tile-pass model exactly (each (M,K)x(K,L)
+  matmul costs ceil(M/128)*ceil(K/128)*L/128 passes at ~21 ns), i.e. the
+  kernel was at its layout-imposed floor and equaled in-model XLA; packing
+  conv5 as a single (9*nf, 128) matmul (5 M-tiles instead of 3x2) brought it
+  to **288 us/RDB — 8% faster than XLA**. A whole-RRDB fused variant was
+  tried and measured SLOWER (1137 us vs 3x288=865 us per RRDB): the trunk is
+  MXU-pass-bound, the inter-block HBM transfers are already hidden behind
+  compute, and the triple-size weight/scratch footprint hurts Mosaic's grid
+  pipelining — so the model chains per-RDB kernels.
+
+Kernel design (v2, "tap-column" scheme):
+
+- grid over the batch; each program owns ``BT`` images entirely in VMEM,
+- one zero-padded scratch ``feat`` of (BT, H+2, W+2, nf + 4*gc) channels.
+  For the reference config nf=64, gc=16 this is exactly 128 = one lane tile:
+  the concat never exists anywhere — growth convs just fill lane sub-ranges,
+- every conv is ONE matmul ``X(M,128) @ Wcat(128, 9*cout)`` where X is the
+  padded feature map flattened over (batch, y, x) and Wcat packs all nine
+  3x3 taps as column blocks. K is always 128 (full MXU K-utilization; rows
+  beyond the conv's true cin are zeroed host-side so garbage lanes in
+  ``feat`` are masked by construction),
+- the 3x3 spatial structure is recovered with nine shifted VMEM slice-adds
+  of the tap-column result (VPU work, no HBM traffic),
+- conv5 (cout=nf=64) runs as five N=128 tap-pair matmuls (taps padded 9->10),
+- LeakyReLU(0.2) fused on the growth outputs, residual ``x + 0.2 * conv5``
+  fused into the single HBM write.
+
+MXU pass accounting per RDB (bs=128, 32x32): 4 growth convs x ceil(144/128)=2
+column passes + 5 conv5 pair passes = 13 passes x ~25 us = ~320 us floor vs
+XLA's 686 us.
 
 Semantics match ``climsr_tpu.models.esrgan.ResidualDenseBlock`` exactly
 (tested); a ``jax.custom_vjp`` wrapper delegates the backward pass to the
 pure-JAX implementation so training works unchanged.
-
-MEASURED (v5e chip, bf16, nf=64 gc=16, batch 128, 32x32): XLA 517 us/RDB,
-this kernel 939 us/RDB — the current Mosaic lowering loses to XLA's fusion,
-mainly on the sub-lane (gc=16-wide) channel-slice writes into the shared
-scratch and the per-tap strided VMEM loads. It therefore ships OFF by
-default, as a correct, tested foundation for further scheduling work
-(candidates: channel-padded growth scratch, fori-loop over taps with
-explicit accumulator layout, double-buffered HBM pipeline).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,42 +55,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, o_ref, feat):
-    bt, h, w, nf = x_ref.shape
-    gc = w1.shape[-1]
-    hw = h * w
+def _tap_cat(w: jax.Array, k_pad: int) -> jax.Array:
+    """(3, 3, cin, cout) conv weight -> (k_pad, 9*cout) tap-column matrix.
+
+    Column block t = 3*dy + dx holds tap (dy, dx); rows >= cin are zero so the
+    matmul can always consume the full 128-channel feature buffer.
+    """
+    kh, kw, cin, cout = w.shape
+    cols = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
+    return jnp.zeros((k_pad, kh * kw * cout), w.dtype).at[:cin].set(cols)
+
+
+def _pad8(v: int) -> int:
+    return (v + 7) & ~7
+
+
+def _rdb_kernel(nf, gc, x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5):
+    bt, h, w, _ = x_ref.shape
+    total = nf + 4 * gc
+    # scratch width is padded to a sublane multiple so the 4D<->2D reshape
+    # around each matmul is layout-free (a 34-row sublane dim would force a
+    # full relayout, which blows up Mosaic compilation)
+    wp = feat.shape[2]
+    m = bt * (h + 2) * wp
 
     feat[...] = jnp.zeros_like(feat)
     feat[:, 1 : h + 1, 1 : w + 1, :nf] = x_ref[...].astype(feat.dtype)
 
-    def conv3x3(cin, cout, w_ref, b_ref):
-        acc = jnp.zeros((bt * hw, cout), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                patch = feat[:, dy : dy + h, dx : dx + w, :cin].reshape(bt * hw, cin)
-                acc += jnp.dot(
-                    patch, w_ref[dy, dx, :cin, :].astype(patch.dtype), preferred_element_type=jnp.float32
-                )
-        return acc + b_ref[0].astype(jnp.float32)
+    # --- growth convs: one (M, 128) @ (128, 9*gc) matmul each ---------------
+    for k in range(4):
+        xmat = feat[...].reshape(m, total)
+        z[...] = jnp.dot(
+            xmat, wg_ref[k], preferred_element_type=jnp.float32
+        ).reshape(bt, h + 2, wp, 9 * gc)
+        acc = bg_ref[k].astype(jnp.float32)  # (1, gc) broadcast
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            acc = acc + z[:, dy : dy + h, dx : dx + w, t * gc : (t + 1) * gc]
+        acc = jnp.where(acc > 0, acc, 0.2 * acc)  # LeakyReLU(0.2)
+        off = nf + k * gc
+        feat[:, 1 : h + 1, 1 : w + 1, off : off + gc] = acc.astype(feat.dtype)
 
-    off = nf
-    for cin, w_ref, b_ref in ((nf, w1, b1), (nf + gc, w2, b2), (nf + 2 * gc, w3, b3), (nf + 3 * gc, w4, b4)):
-        y = conv3x3(cin, gc, w_ref, b_ref)
-        y = jnp.where(y > 0, y, 0.2 * y)  # LeakyReLU(0.2)
-        feat[:, 1 : h + 1, 1 : w + 1, off : off + gc] = y.reshape(bt, h, w, gc).astype(feat.dtype)
-        off += gc
+    # --- conv5: five (M, 128) @ (128, 2*nf) tap-pair matmuls ----------------
+    y5[...] = jnp.zeros_like(y5) + b5_ref[...].astype(jnp.float32)
+    for p in range(5):
+        xmat = feat[...].reshape(m, total)
+        zp = jnp.dot(xmat, w5_ref[p], preferred_element_type=jnp.float32).reshape(
+            bt, h + 2, wp, 2 * nf
+        )
+        for j in range(2):
+            t = 2 * p + j
+            if t > 8:
+                break  # tap 9 is zero padding
+            dy, dx = divmod(t, 3)
+            y5[...] += zp[:, dy : dy + h, dx : dx + w, j * nf : (j + 1) * nf]
 
-    y5 = conv3x3(nf + 4 * gc, nf, w5, b5).reshape(bt, h, w, nf)
-    o_ref[...] = (x_ref[...].astype(jnp.float32) + 0.2 * y5).astype(o_ref.dtype)
+    o_ref[...] = (x_ref[...].astype(jnp.float32) + 0.2 * y5[...]).astype(o_ref.dtype)
 
 
-def _rdb_pallas_raw(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 8):
+def _rdb_pallas_raw(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
     n, h, w, nf = x.shape
     gc = w1.shape[-1]
+    total = nf + 4 * gc
     bt = min(batch_tile, n)
     while n % bt:
         bt -= 1
-    total_ch = nf + 4 * gc
+
+    # host/trace-side weight packing (constant-folded under jit)
+    wg = jnp.stack([_tap_cat(wt, total) for wt in (w1, w2, w3, w4)])  # (4, total, 9*gc)
+    bg = jnp.stack([b.reshape(1, gc) for b in (b1, b2, b3, b4)])  # (4, 1, gc)
+    w5cat = _tap_cat(w5, total)  # (total, 9*nf)
+    w5p = jnp.concatenate([w5cat, jnp.zeros((total, nf), w5cat.dtype)], axis=1)
+    w5p = w5p.reshape(total, 5, 2 * nf).transpose(1, 0, 2)  # (5, total, 2*nf) tap pairs
+    b5r = b5.reshape(1, nf)
 
     def batch_spec():
         return pl.BlockSpec((bt, h, w, nf), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -80,21 +135,172 @@ def _rdb_pallas_raw(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int =
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    biases = [b.reshape(1, -1) for b in (b1, b2, b3, b4, b5)]
-    in_specs = [batch_spec()]
-    for wt, bs in zip((w1, w2, w3, w4, w5), biases):
-        in_specs.append(full(wt.shape))
-        in_specs.append(full(bs.shape))
-
     return pl.pallas_call(
-        _rdb_kernel,
+        functools.partial(_rdb_kernel, nf, gc),
         grid=(n // bt,),
-        in_specs=in_specs,
+        in_specs=[batch_spec(), full(wg.shape), full(bg.shape), full(w5p.shape), full(b5r.shape)],
         out_specs=batch_spec(),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((bt, h + 2, w + 2, total_ch), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + 2, _pad8(w + 2), total), x.dtype),  # feat
+            pltpu.VMEM((bt, h + 2, _pad8(w + 2), 9 * gc), jnp.float32),  # tap columns
+            pltpu.VMEM((bt, h, w, nf), jnp.float32),  # conv5 accumulator
+        ],
         interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
-    )(x, w1, biases[0], w2, biases[1], w3, biases[2], w4, biases[3], w5, biases[4])
+    )(x, wg, bg, w5p, b5r)
+
+
+# ---------------------------------------------------------------------------
+# v3: transposed layout — channels on sublanes, (image, y, x) flat on lanes.
+#
+# The v2 kernel above is VPU-bound: its tap reduction reads gc=16-lane slices
+# (1/8 vector utilization) and the feature writes are partial-lane stores. In
+# the transposed layout every vector op is full-width:
+#
+# - X lives as (C, L) with L = bt*h*w lanes (no spatial padding at all;
+#   'SAME' zero-padding becomes 9 precomputed per-tap lane masks),
+# - each conv is ONE matmul (9*cout, 128) @ (128, L) — K always 128, M = 144
+#   (growth) / 192*3 (conv5 tap-triples), N = thousands of lanes,
+# - tap reduction = sublane-slice (aligned, cout rows) + pltpu.roll on lanes
+#   (full-width) + masked add,
+# - growth outputs are sublane-aligned 16-row stores into the shared buffer.
+#
+# The layout transpose is done once per TRUNK (33 RDBs amortize it), not per
+# RDB — see models/esrgan.py.
+# ---------------------------------------------------------------------------
+
+
+def _tap_rows(w: jax.Array, k_pad: int) -> jax.Array:
+    """(3, 3, cin, cout) -> (9*cout, k_pad): row t*cout+c is tap t's weights."""
+    kh, kw, cin, cout = w.shape
+    rows = jnp.transpose(w, (0, 1, 3, 2)).reshape(kh * kw * cout, cin)
+    return jnp.zeros((kh * kw * cout, k_pad), w.dtype).at[:, :cin].set(rows)
+
+
+def _rdb_t_kernel(nf, gc, h, w, x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5):
+    total = nf + 4 * gc
+    L = x_ref.shape[1]
+    P = h * w
+
+    # per-tap validity masks ('SAME' zero padding, computed from lane coords)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    q = lane % P
+    yy, xx = q // w, q % w
+    masks = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        ok = (yy + dy - 1 >= 0) & (yy + dy - 1 < h) & (xx + dx - 1 >= 0) & (xx + dx - 1 < w)
+        masks.append(ok)
+
+    feat[...] = jnp.zeros_like(feat)
+    feat[:nf, :] = x_ref[...].astype(feat.dtype)
+
+    def tap_reduce(zval, cout, taps, bias):
+        acc = jnp.broadcast_to(bias.astype(jnp.float32), (cout, L))
+        for j, t in enumerate(taps):
+            dy, dx = divmod(t, 3)
+            delta = (dy - 1) * w + (dx - 1)
+            block = zval[j * cout : (j + 1) * cout, :]
+            if delta:
+                block = pltpu.roll(block, shift=(-delta) % L, axis=1)
+            acc = acc + jnp.where(masks[t], block, 0.0)
+        return acc
+
+    # --- growth convs: one (9*gc, 128) @ (128, L) matmul each ---------------
+    for k in range(4):
+        z[: 9 * gc, :] = jnp.dot(
+            wg_ref[k], feat[...], preferred_element_type=jnp.float32
+        )
+        acc = tap_reduce(z[: 9 * gc, :], gc, range(9), bg_ref[k])
+        acc = jnp.where(acc > 0, acc, 0.2 * acc)  # LeakyReLU(0.2)
+        off = nf + k * gc
+        feat[off : off + gc, :] = acc.astype(feat.dtype)
+
+    # --- conv5: one (9*nf, 128) @ (128, L) matmul ---------------------------
+    # (a single 576-row matmul beats three 192-row ones: M-tiles round up to
+    # 5 instead of 6, ~7% fewer MXU passes per RDB)
+    z[: 9 * nf, :] = jnp.dot(w5_ref[...], feat[...], preferred_element_type=jnp.float32)
+    y5[...] = jnp.broadcast_to(b5_ref[...].astype(jnp.float32), (nf, L))
+    y5[...] += tap_reduce(z[: 9 * nf, :], nf, range(9), jnp.zeros((nf, 1), jnp.float32))
+
+    o_ref[...] = (x_ref[...].astype(jnp.float32) + 0.2 * y5[...]).astype(o_ref.dtype)
+
+
+def nhwc_to_cl(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (C, N*H*W) — the trunk's transposed device layout."""
+    n, h, w, c = x.shape
+    return jnp.transpose(x, (3, 0, 1, 2)).reshape(c, n * h * w)
+
+
+def cl_to_nhwc(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
+    c = x.shape[0]
+    return jnp.transpose(x.reshape(c, n, h, w), (1, 2, 3, 0))
+
+
+def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
+    """xt: (nf, N*h*w) transposed layout. Returns the same layout."""
+    nf, ntot = xt.shape
+    gc = w1.shape[-1]
+    total = nf + 4 * gc
+    n = ntot // (h * w)
+    bt = min(batch_tile, n)
+    while n % bt:
+        bt -= 1
+    L = bt * h * w
+
+    wg = jnp.stack([_tap_rows(wt, total) for wt in (w1, w2, w3, w4)])  # (4, 9*gc, total)
+    bg = jnp.stack([b.reshape(gc, 1) for b in (b1, b2, b3, b4)])  # (4, gc, 1)
+    w5rows = _tap_rows(w5, total)  # (9*nf, total)
+    b5r = b5.reshape(nf, 1)
+
+    def lane_spec():
+        return pl.BlockSpec((nf, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    zrows = max(9 * gc, 9 * nf)
+    return pl.pallas_call(
+        functools.partial(_rdb_t_kernel, nf, gc, h, w),
+        grid=(n // bt,),
+        in_specs=[lane_spec(), full(wg.shape), full(bg.shape), full(w5rows.shape), full(b5r.shape)],
+        out_specs=lane_spec(),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((total, L), xt.dtype),  # feature buffer (the "concat")
+            pltpu.VMEM((zrows, L), jnp.float32),  # tap-row matmul result
+            pltpu.VMEM((nf, L), jnp.float32),  # conv5 accumulator
+        ],
+        interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
+    )(xt, wg, bg, w5rows, b5r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 13))
+def fused_rdb_t(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
+    """Transposed-layout fused RDB; backward delegates to the JAX reference."""
+    return _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile)
+
+
+def _fwd_t(xt, h, w, *args):
+    wargs = args[:10]
+    batch_tile = args[10]
+    out = _rdb_t_pallas_raw(xt, h, w, *wargs, batch_tile)
+    return out, (xt, wargs)
+
+
+def _bwd_t(h, w, batch_tile, residuals, g):
+    xt, wargs = residuals
+    nf, ntot = xt.shape
+    n = ntot // (h * w)
+
+    def ref_t(xt, *wargs):
+        return nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *wargs))
+
+    _, vjp = jax.vjp(ref_t, xt, *wargs)
+    return vjp(g)
+
+
+fused_rdb_t.defvjp(_fwd_t, _bwd_t)
 
 
 def rdb_reference(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
@@ -116,7 +322,7 @@ def rdb_reference(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
-def fused_rdb(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 8):
+def fused_rdb(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
     """VMEM-fused RDB forward; backward delegates to the pure-JAX reference."""
     return _rdb_pallas_raw(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile)
 

@@ -1,12 +1,12 @@
 # -*- coding: utf-8 -*-
-"""Pallas fused-RDB kernel: exactness vs the pure-JAX reference (interpret mode on CPU)."""
+"""Pallas fused kernels: exactness vs the pure-JAX reference (interpret mode on CPU)."""
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
-from climsr_tpu.ops.pallas.rdb import fused_rdb, rdb_reference
+from climsr_tpu.ops.pallas.rdb import cl_to_nhwc, fused_rdb, fused_rdb_t, nhwc_to_cl, rdb_reference
 
 
 def _weights(rng, nf=16, gc=8):
@@ -42,3 +42,66 @@ def test_fused_rdb_gradients_via_reference_bwd(rng):
     g = jax.grad(lambda x, *ws: jnp.sum(fused_rdb(x, *ws) ** 2))(x, *ws)
     gref = jax.grad(lambda x, *ws: jnp.sum(rdb_reference(x, *ws) ** 2))(x, *ws)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-3)
+
+
+def test_fused_rdb_t_matches_reference(rng):
+    # transposed-layout v3 kernel, non-square spatial + remainder batch tile
+    n, h, w = 3, 8, 16
+    x = jnp.asarray(rng.normal(size=(n, h, w, 16)).astype(np.float32))
+    ws = _weights(rng)
+    got = cl_to_nhwc(fused_rdb_t(nhwc_to_cl(x), h, w, *ws, 2), n, h, w)
+    want = rdb_reference(x, *ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_rdb_t_gradients_via_reference_bwd(rng):
+    n, h, w = 2, 8, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, 16)).astype(np.float32))
+    ws = _weights(rng)
+    xt = nhwc_to_cl(x)
+    g = jax.grad(lambda xt, *ws: jnp.sum(fused_rdb_t(xt, h, w, *ws, 1) ** 2))(xt, *ws)
+    gref = jax.grad(lambda xt, *ws: jnp.sum(nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *ws)) ** 2))(
+        xt, *ws
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-3)
+
+
+def test_esrgan_use_pallas_matches_xla_path(rng):
+    """Whole-model parity: the pallas trunk is numerically identical (params,
+    forward, gradients) to the XLA path — checkpoints are interchangeable."""
+    from climsr_tpu.models import create_generator
+
+    m0 = create_generator("esrgan", nf=16, nb=2, gc=8, out_channels=1)
+    m1 = create_generator("esrgan", nf=16, nb=2, gc=8, out_channels=1, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(2, 32, 64, 1)).astype(np.float32))
+    mask = jnp.ones((2, 32, 64, 1), jnp.float32)
+    v = m0.init(key, x, e, mask)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(m1.init(key, x, e, mask))
+    a = m0.apply(v, x, e, mask)
+    b = m1.apply(v, x, e, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, x, e, mask) ** 2))(v["params"])
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, x, e, mask) ** 2))(v["params"])
+    jax.tree_util.tree_map(
+        lambda u, z: np.testing.assert_allclose(np.asarray(u), np.asarray(z), atol=1e-4), g0, g1
+    )
+
+
+def test_esrgan_use_pallas_falls_back_on_ineligible_shapes(rng):
+    """Shapes the kernel doesn't cover (e.g. europe-extent 113x113) transparently
+    use the XLA path — same module, same params."""
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.models.esrgan import pallas_trunk_eligible
+
+    assert not pallas_trunk_eligible(113, 113)
+    m1 = create_generator("esrgan", nf=16, nb=1, gc=8, out_channels=1, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.normal(size=(1, 5, 5, 3)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(1, 20, 20, 1)).astype(np.float32))
+    mask = jnp.ones((1, 20, 20, 1), jnp.float32)
+    v = m1.init(key, x, e, mask)
+    out = m1.apply(v, x, e, mask)
+    assert out.shape == (1, 20, 20, 1)
+    assert np.isfinite(np.asarray(out)).all()
