@@ -248,9 +248,24 @@ def device_prefetch(
     reference.
     """
 
+    multiprocess = jax.process_count() > 1
+
     def to_device(batch: Dict[str, np.ndarray]):
         if sharding is None:
             return jax.device_put(batch)
+        if multiprocess:
+            # Every process iterates the same (seed-synchronized) loader; each
+            # transfers only its contiguous slice of the global batch and the
+            # global array is assembled across processes (put_global). This is
+            # the DistributedSampler-equivalent for the jax.distributed path.
+            from climsr_tpu.parallel.mesh import process_local_slice, put_global
+
+            def slice_local(x):
+                if np.ndim(x) == 0:
+                    return x
+                return x[process_local_slice(np.shape(x)[0])]
+
+            return put_global(jax.tree_util.tree_map(slice_local, batch), sharding)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding if np.ndim(x) >= 1 else None), batch
         )

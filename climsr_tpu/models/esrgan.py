@@ -263,6 +263,12 @@ class ESRGANGenerator(nn.Module):
         if self.scaling_factor == 4:
             fea = leaky_relu(self._up_conv(fea, "upconv2"))
 
+        # NOTE: a fused Pallas HR-tail kernel (lrelu+HRconv+lrelu+conv_last,
+        # ops/pallas/head.py) beats XLA standalone (2.46 vs 3.42 ms at the
+        # flagship shape) but was measured SLOWER end-to-end (19.2 vs 15.7
+        # ms/iter): unlike the trunk, a single block cannot amortize the
+        # channels-to-sublanes layout transpose its input needs. So the HR
+        # head stays on XLA's NHWC path.
         out = conv(self.out_channels, name="conv_last")(leaky_relu(conv(self.nf, name="HRconv")(fea)))
         out = SRCNN(in_channels=3, out_channels=self.out_channels, dtype=self.dtype, name="srcnn")(
             jnp.concatenate([out, elev.astype(out.dtype), mask.astype(out.dtype)], axis=-1)

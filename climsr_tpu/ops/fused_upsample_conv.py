@@ -70,3 +70,35 @@ def nearest_up2_conv3(
     if bias is not None:
         out = out + bias
     return out
+
+
+def nearest_up2_conv3_t(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    precision=None,
+) -> jax.Array:
+    """As ``nearest_up2_conv3`` but emits the transposed lane layout
+    ``(F, N*2H*2W)`` directly: the phase interleave and the channels-to-
+    sublanes transpose collapse into one relayout instead of two (feeds the
+    ``fused_hr_tail`` Pallas kernel)."""
+    n, h, w_sz, c = x.shape
+    f = kernel.shape[-1]
+    phases = _phase_kernels(kernel)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (2, 2, c, f), ("NHWC", "HWIO", "NHWC"))
+
+    outs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            pk = phases[a][b]
+            pad = ((1 - a, a), (1 - b, b))
+            y = jax.lax.conv_general_dilated(
+                x, pk, (1, 1), pad, dimension_numbers=dn, precision=precision
+            )
+            outs.append(y)
+    stacked = jnp.stack(outs, axis=-2).reshape(n, h, w_sz, 2, 2, f)
+    # target lane order (n, 2i+a, 2j+b) with channels leading
+    out = stacked.transpose(5, 0, 1, 3, 2, 4).reshape(f, n * 2 * h * 2 * w_sz)
+    if bias is not None:
+        out = out + bias[:, None]
+    return out

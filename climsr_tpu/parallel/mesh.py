@@ -70,4 +70,43 @@ def shard_leading_dim_if_divisible(pytree, mesh: Mesh, axis: str = "data", min_s
 
 
 def put_replicated(pytree, mesh: Mesh):
-    return jax.device_put(pytree, replicated(mesh))
+    return put_global(pytree, replicated(mesh))
+
+
+def put_global(pytree, sharding: NamedSharding):
+    """``device_put`` that also works when the sharding spans multiple processes.
+
+    Single-process (the common case): a plain ``jax.device_put``. Under
+    ``jax.distributed`` a process can only ``device_put`` to its own devices,
+    so global arrays are assembled with
+    ``jax.make_array_from_process_local_data`` instead — each process passes
+    the data for ITS addressable shards: its slice of the batch for a
+    batch-sharded ``NamedSharding``, or the identical full array for a
+    replicated one (the function slices per the sharding either way).
+
+    This is the multi-host-correct replacement for the reference's
+    ``DistributedSampler`` + per-rank ``.to(device)`` pattern
+    (``climsr/core/config.py:107-108`` ``num_nodes``/``num_processes``).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(pytree, sharding)
+
+    def put(x):
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return jax.make_array_from_process_local_data(NamedSharding(sharding.mesh, P()), arr)
+        return jax.make_array_from_process_local_data(sharding, arr)
+
+    return jax.tree_util.tree_map(put, pytree)
+
+
+def process_local_slice(n: int) -> slice:
+    """This process's contiguous slice of a length-``n`` global batch axis.
+
+    Used by the input pipeline to feed ``put_global``: each process loads /
+    contributes ``n // process_count`` consecutive samples.
+    """
+    pc = jax.process_count()
+    per = n // pc
+    pi = jax.process_index()
+    return slice(pi * per, (pi + 1) * per)

@@ -124,6 +124,11 @@ class Trainer:
             use_store = trainer_cfg.device_resident_data is True or (
                 trainer_cfg.device_resident_data == "auto" and est_bytes <= trainer_cfg.device_store_max_bytes
             )
+            # device-resident stores are a single-host optimization; under
+            # jax.distributed each process streams its slice of every batch
+            # through the (multi-host-correct) device_prefetch path instead
+            if jax.process_count() > 1:
+                use_store = False
             if use_store:
                 from climsr_tpu.data.pipeline import EpochIndexSampler, build_device_store
 

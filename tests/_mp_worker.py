@@ -1,0 +1,66 @@
+# -*- coding: utf-8 -*-
+"""Worker for the 2-process jax.distributed CPU test (see test_multiprocess.py).
+
+Each process owns 4 virtual CPU devices; together they form an 8-device
+'data' mesh spanning two processes — the smallest faithful model of a
+multi-host TPU pod. Exercises the multi-host input path: put_global /
+process_local_slice / device_prefetch assembling global arrays from
+process-local batch slices, and a jitted global reduction over the mesh.
+"""
+import sys
+
+
+def main(coordinator: str, num_processes: int, process_id: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(coordinator, num_processes=num_processes, process_id=process_id)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from climsr_tpu.data.pipeline import device_prefetch
+    from climsr_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        process_local_slice,
+        put_global,
+        put_replicated,
+    )
+
+    assert jax.process_count() == num_processes, jax.process_count()
+    assert len(jax.devices()) == 4 * num_processes, len(jax.devices())
+    mesh = create_mesh(None, ("data",))
+    bsharding = batch_sharding(mesh)
+
+    # --- put_global: batch-sharded assembly from per-process slices --------
+    global_batch = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    local = global_batch[process_local_slice(16)]
+    arr = put_global(local, bsharding)
+    assert arr.shape == (16, 3), arr.shape
+    total = float(jax.jit(jnp.sum, out_shardings=None)(arr))
+    assert abs(total - global_batch.sum()) < 1e-4, (total, global_batch.sum())
+
+    # --- put_replicated across processes ------------------------------------
+    rep = put_replicated(np.full((5,), 7.0, np.float32), mesh)
+    assert abs(float(jnp.sum(rep)) - 35.0) < 1e-5
+
+    # --- device_prefetch slices + assembles per process ---------------------
+    def it():
+        for i in range(3):
+            yield {"x": np.full((8, 2), float(i), np.float32), "__valid__": 8}
+
+    seen = 0
+    for batch in device_prefetch(it(), bsharding):
+        assert batch["x"].shape == (8, 2)
+        s = float(jax.jit(jnp.sum)(batch["x"]))
+        assert abs(s - 16.0 * seen) < 1e-4, (s, seen)
+        seen += 1
+    assert seen == 3
+
+    print(f"MP-WORKER-OK p{process_id}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))

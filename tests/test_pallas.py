@@ -89,6 +89,31 @@ def test_esrgan_use_pallas_matches_xla_path(rng):
     )
 
 
+def test_fused_hr_tail_matches_reference(rng):
+    from climsr_tpu.ops.pallas.head import fused_hr_tail, hr_tail_reference
+
+    n, h, w = 2, 16, 24
+    x = jnp.asarray(rng.normal(size=(n, h, w, 64)).astype(np.float32))
+    whr = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.1)
+    bhr = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    wcl = jnp.asarray(rng.normal(size=(3, 3, 64, 1)).astype(np.float32) * 0.1)
+    bcl = jnp.asarray(rng.normal(size=(1,)).astype(np.float32) * 0.1)
+    xt = jnp.transpose(x, (3, 0, 1, 2)).reshape(64, n * h * w)
+    out_t = fused_hr_tail(xt, h, w, whr, bhr, wcl, bcl, 1)
+    got = jnp.transpose(out_t.reshape(1, n, h, w), (1, 2, 3, 0))
+    want = hr_tail_reference(x, (whr, bhr, wcl, bcl))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    g = jax.grad(lambda xt: jnp.sum(fused_hr_tail(xt, h, w, whr, bhr, wcl, bcl, 1) ** 2))(xt)
+    gref = jax.grad(
+        lambda xt: jnp.sum(
+            hr_tail_reference(jnp.transpose(xt.reshape(64, n, h, w), (1, 2, 3, 0)), (whr, bhr, wcl, bcl))
+            ** 2
+        )
+    )(xt)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-2)
+
+
 def test_esrgan_use_pallas_falls_back_on_ineligible_shapes(rng):
     """Shapes the kernel doesn't cover (e.g. europe-extent 113x113) transparently
     use the XLA path — same module, same params."""
