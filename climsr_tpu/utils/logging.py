@@ -68,8 +68,24 @@ class MetricLogger:
                 mlflow.set_experiment(spec.get("experiment_name", "climsr"))
                 mlflow.start_run()
                 self._third_party.append(("mlflow", mlflow))
-            else:  # neptune / comet
-                raise ImportError(f"{name} adapter requires the '{name}' package")
+            elif name == "neptune":
+                import neptune
+
+                run = neptune.init_run(
+                    project=spec.get("project_name") or spec.get("project"),
+                    name=spec.get("experiment_name", "climsr"),
+                )
+                self._third_party.append(("neptune", run))
+            elif name == "comet":
+                import comet_ml
+
+                exp = comet_ml.Experiment(
+                    project_name=spec.get("project_name", "climsr"),
+                    workspace=spec.get("workspace"),
+                )
+                self._third_party.append(("comet", exp))
+            else:
+                raise ImportError(f"unknown third-party logger '{name}'")
         except Exception as e:
             logger.warning("logger '%s' unavailable (%s); falling back to tensorboard+csv", name, e)
 
@@ -106,6 +122,11 @@ class MetricLogger:
                 sink.log(scalars, step=step)
             elif kind == "mlflow":
                 sink.log_metrics({k.replace("/", "."): v for k, v in scalars.items()}, step=step)
+            elif kind == "neptune":
+                for k, v in scalars.items():
+                    sink[k].append(v, step=step)
+            elif kind == "comet":
+                sink.log_metrics(scalars, step=step)
         if hasattr(self, "_csv_path"):
             fields = ["step"] + sorted(scalars)
             if self._csv_writer is None:

@@ -1,0 +1,92 @@
+# -*- coding: utf-8 -*-
+"""VGG19 feature-extractor parity vs the torch architecture it ports.
+
+ImageNet weights cannot be downloaded in this environment (zero egress), so
+the test proves the PORT — architecture, torchvision state-dict key mapping,
+HWIO conversion, truncation semantics, npz round trip — against a randomly
+initialized torch replica of ``torchvision.models.vgg19().features``. With
+the port verified weight-independent, the pretrained weights are pure data
+(fetched once by ``scripts/fetch_vgg19.py`` in a connected environment).
+
+Reference: ``climsr/losses/perceptual.py:15-19`` (``features[:35]``, i.e.
+through conv5_4 *without* its ReLU).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from climsr_tpu.models.vgg import (  # noqa: E402
+    VGG19Features,
+    load_npz,
+    load_torchvision_weights,
+    save_npz,
+)
+
+# torchvision vgg19 'E' configuration
+_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+        512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def _torch_vgg19_features() -> "torch.nn.Sequential":
+    layers, in_c = [], 3
+    for v in _CFG:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            in_c = v
+    return torch.nn.Sequential(*layers)
+
+
+def test_vgg19_features_numeric_parity(rng):
+    torch.manual_seed(0)
+    features = _torch_vgg19_features()
+    truncated = features[:35]  # through conv5_4, pre-ReLU — the reference cut
+
+    # the converter consumes torchvision's "features.<idx>.{weight,bias}" keys
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    variables = load_torchvision_weights(sd)
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = truncated(torch.from_numpy(x)).numpy()  # NCHW
+
+    model = VGG19Features(cutoff="conv5_4")
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))  # NHWC
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_vgg19_intermediate_cutoff(rng):
+    """A shallow cutoff (conv2_2 = features[:12] pre-ReLU... index 12 is the
+    conv itself) also matches — used for cheap perceptual variants."""
+    torch.manual_seed(1)
+    features = _torch_vgg19_features()
+    # conv2_2 sits at torchvision index 7; pre-ReLU slice is features[:8]
+    truncated = features[:8]
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    variables = load_torchvision_weights(sd)
+    x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = truncated(torch.from_numpy(x)).numpy()
+    got = VGG19Features(cutoff="conv2_2").apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4, rtol=1e-3)
+
+
+def test_vgg19_npz_round_trip(tmp_path, rng):
+    torch.manual_seed(2)
+    features = _torch_vgg19_features()
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    variables = load_torchvision_weights(sd)
+    path = tmp_path / "vgg19_features.npz"
+    save_npz(variables, path)
+    reloaded = load_npz(path)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    a = VGG19Features(cutoff="conv3_4").apply(variables, x)
+    b = VGG19Features(cutoff="conv3_4").apply(reloaded, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
