@@ -290,6 +290,12 @@ class InferenceConfig:
     batch_size: int = 16
     tile_size: Optional[int] = None  # None = whole-frame (reference behavior)
     tile_overlap: int = 16
+    # Multi-chip whole-globe SR: H-shard each frame over the device mesh with
+    # one halo exchange (parallel/halo.py), instead of single-device tiling.
+    # Requires frame height divisible by the device count; falls back to the
+    # tiled path otherwise.
+    spatial_shard: bool = False
+    spatial_halo: int = 32  # LR rows of context exchanged per neighbor
 
 
 @dataclass

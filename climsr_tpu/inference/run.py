@@ -85,6 +85,8 @@ def inference_on_full_images(
     tile_size: Optional[int] = None,
     tile_overlap: int = 16,
     scaling_factor: int = 4,
+    spatial_shard: bool = False,
+    spatial_halo: int = 32,
 ) -> List[str]:
     """SR every frame in ``ds``; write one GeoTIFF per frame. Returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -110,6 +112,38 @@ def inference_on_full_images(
     else:
         extras = None
 
+    # Multi-chip whole-globe mode: H-shard every frame over the device mesh
+    # with one halo exchange (parallel/halo.py) — all chips jointly produce
+    # one output frame, the conv-net analogue of sequence parallelism.
+    n_dev = len(jax.devices())
+    if spatial_shard:
+        if n_dev > 1 and frames.shape[1] % n_dev == 0:
+            from climsr_tpu.parallel.halo import spatial_sharded_apply_multi
+            from climsr_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(axes=("data",))
+            # the reflect edge-padding draws from the shard's own rows, so the
+            # halo cannot exceed the per-device slice minus one
+            spatial_halo = min(spatial_halo, frames.shape[1] // n_dev - 1)
+            # srcnn consumes a pre-upscaled frame (HR in, HR out) -> its
+            # output/input row ratio is 1; fusion models upsample by
+            # scaling_factor and take HR-sized elevation/mask extras
+            out_scale = 1 if generator_type == consts.models.srcnn else scaling_factor
+            scales = (1, out_scale, out_scale) if extras is not None else (1,)
+            sharded_fn = spatial_sharded_apply_multi(
+                gen_fn, mesh, halo=spatial_halo, scale=out_scale, input_scales=scales
+            )
+            logger.info(
+                "spatial-sharded whole-frame SR over %d devices (halo=%d LR rows)",
+                n_dev, spatial_halo,
+            )
+            sr_frames = whole_frame_sr(sharded_fn, frames, extras=extras, batch_size=batch_size)
+            return _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written)
+        logger.warning(
+            "inference.spatial_shard requested but %d device(s) / H=%d not shardable; "
+            "falling back to the tiled path", n_dev, frames.shape[1],
+        )
+
     # Auto-tile big frames: whole-frame SR of the 360x720 CRU-TS grid would
     # allocate HR-sized 1-channel activations that XLA lane-pads 128x (63 MB
     # -> 7.9 GB at batch 8, measured OOM); 128px overlap-tiles keep activations
@@ -128,6 +162,11 @@ def inference_on_full_images(
     else:
         sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
 
+    return _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written)
+
+
+def _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written) -> List[str]:
+    """Denormalize + ocean-mask each SR frame and write one GeoTIFF per month."""
     profile = GeoProfile(
         width=sr_frames.shape[2],
         height=sr_frames.shape[1],
@@ -202,6 +241,8 @@ def run_inference(cfg: InferenceConfig, cruts_variables: List[str], generator_kw
             tile_size=cfg.tile_size,
             tile_overlap=cfg.tile_overlap,
             scaling_factor=cfg.scaling_factor,
+            spatial_shard=cfg.spatial_shard,
+            spatial_halo=cfg.spatial_halo,
         )
         logger.info("Inference for variable %s finished.", var)
 

@@ -34,15 +34,19 @@ def build_perceptual_loss(
     differentiable: bool = False,
     compute_dtype=jnp.bfloat16,
     variables: Optional[dict] = None,
+    cutoff: str = "conv5_4",
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Returns perceptual_fn(hr, sr) -> scalar L1 feature distance.
 
     The returned callable closes over the VGG parameters (they are constants,
     never trained — matching ``requires_grad=False`` in the reference).
+    ``cutoff`` selects the truncation depth: the reference uses conv5_4
+    (``features[:35]``); shallower cuts (e.g. conv2_2) make cheap test/CI
+    variants of the same graph.
     """
-    model = VGG19Features(cutoff="conv5_4", dtype=compute_dtype)
+    model = VGG19Features(cutoff=cutoff, dtype=compute_dtype)
     if variables is None:
-        variables = try_load_pretrained()
+        variables = try_load_pretrained(cutoff=cutoff)
     if variables is None:
         logger.warning(
             "No pretrained VGG19 weights found (weights/vgg19_features.npz or torch hub cache). "

@@ -73,6 +73,20 @@ def sharded_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh, axis_name: str =
     )(x, kernel)
 
 
+def _halo_pad_reflect(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Local H-shard + ``halo`` neighbor rows (reflect at the frame edges)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    from_prev = jax.lax.ppermute(x_local[:, -halo:], axis_name, [(i, (i + 1) % n) for i in range(n)])
+    from_next = jax.lax.ppermute(x_local[:, :halo], axis_name, [(i, (i - 1) % n) for i in range(n)])
+    # edge devices: reflect their own rows instead of wrapped data
+    reflect_top = x_local[:, 1 : halo + 1][:, ::-1]
+    reflect_bot = x_local[:, -halo - 1 : -1][:, ::-1]
+    from_prev = jnp.where(idx == 0, reflect_top, from_prev)
+    from_next = jnp.where(idx == n - 1, reflect_bot, from_next)
+    return jnp.concatenate([from_prev, x_local, from_next], axis=1)
+
+
 def spatial_sharded_apply(
     fn: Callable[[jax.Array], jax.Array],
     mesh: Mesh,
@@ -88,24 +102,48 @@ def spatial_sharded_apply(
     One exchange total — the per-layer traffic of exact halo convs is traded
     for ``2*halo`` rows of redundant compute per device.
     """
+    multi = spatial_sharded_apply_multi(fn, mesh, axis_name=axis_name, halo=halo, scale=scale)
 
-    def local(x_local):
-        n = jax.lax.psum(1, axis_name)
-        idx = jax.lax.axis_index(axis_name)
-        from_prev = jax.lax.ppermute(x_local[:, -halo:], axis_name, [(i, (i + 1) % n) for i in range(n)])
-        from_next = jax.lax.ppermute(x_local[:, :halo], axis_name, [(i, (i - 1) % n) for i in range(n)])
-        # edge devices: reflect their own rows instead of wrapped data
-        reflect_top = x_local[:, 1 : halo + 1][:, ::-1]
-        reflect_bot = x_local[:, -halo - 1 : -1][:, ::-1]
-        from_prev = jnp.where(idx == 0, reflect_top, from_prev)
-        from_next = jnp.where(idx == n - 1, reflect_bot, from_next)
-        padded = jnp.concatenate([from_prev, x_local, from_next], axis=1)
-        out = fn(padded)
+    def wrapped(x):
+        return multi(x)
+
+    return wrapped
+
+
+def spatial_sharded_apply_multi(
+    fn: Callable[..., jax.Array],
+    mesh: Mesh,
+    axis_name: str = "data",
+    halo: int = 32,
+    scale: int = 4,
+    input_scales: tuple = (1,),
+) -> Callable[..., jax.Array]:
+    """Multi-input variant of :func:`spatial_sharded_apply`.
+
+    ``fn(*inputs)`` takes NHWC tensors whose H dimensions are related by
+    ``input_scales`` (e.g. an ESRGAN fusion forward takes LR at scale 1 plus
+    elevation/mask at the HR scale): input ``i`` is H-sharded over the mesh
+    and padded with ``halo * input_scales[i]`` rows so all local views stay
+    geometrically aligned. The output (at ``scale``x the first input) is
+    cropped back to its shard.
+
+    This is the user-reachable whole-globe path behind
+    ``inference.spatial_shard=true`` (see inference/run.py): a 1440x2880
+    output frame is produced jointly by all chips with one ppermute exchange
+    over ICI, the conv-net analogue of sequence/context parallelism.
+    """
+
+    def local(*xs_local):
+        padded = [
+            _halo_pad_reflect(x, halo * s, axis_name) for x, s in zip(xs_local, input_scales)
+        ]
+        out = fn(*padded)
         return out[:, halo * scale : out.shape[1] - halo * scale]
 
+    n_in = len(input_scales)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=P(None, axis_name, None, None),
+        in_specs=tuple(P(None, axis_name, None, None) for _ in range(n_in)),
         out_specs=P(None, axis_name, None, None),
     )

@@ -231,3 +231,42 @@ def test_tiled_sr_with_extras_matches_whole_frame(rng):
     got = tiler(frame, extras=(elev, mask))
     want = np.repeat(np.repeat(frame, 4, 0), 4, 1) + elev * 0.5
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_spatial_shard_inference_matches_single_device(cruts_fixture):
+    """inference.spatial_shard=true: whole-globe SR produced jointly by the
+    8-device mesh matches the single-device whole-frame output — exactly for
+    rows a receptive field away from the frame edges (shard seams are
+    invisible), loosely at the frame edges (reflect-halo vs zero padding)."""
+    import jax
+
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images
+    from climsr_tpu.models import create_generator
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="srcnn",  # pre-upscaled input: small receptive field
+        scaling_factor=4,
+    )
+    model = create_generator("srcnn", out_channels=1, dtype=jnp.float32)
+    item = ds[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + item[consts.batch_items.lr].shape))["params"]
+
+    out_single = cruts_fixture["tmp_path"] / "sr_single"
+    out_shard = cruts_fixture["tmp_path"] / "sr_shard"
+    w_single = inference_on_full_images(model, params, ds, str(out_single), "srcnn", batch_size=2)
+    w_shard = inference_on_full_images(
+        model, params, ds, str(out_shard), "srcnn", batch_size=2, spatial_shard=True
+    )
+    assert len(w_single) == len(w_shard) == cruts_fixture["months"]
+    a, _ = read_geotiff(w_single[0])
+    b, _ = read_geotiff(w_shard[0])
+    assert a.shape == b.shape
+    rf = 8  # srcnn receptive-field radius (9x9 -> 1x1 -> 5x5) is 6 at HR
+    interior = slice(rf, a.shape[0] - rf)
+    np.testing.assert_allclose(
+        np.nan_to_num(b[interior]), np.nan_to_num(a[interior]), atol=1e-4
+    )
