@@ -93,9 +93,9 @@ class ResidualDenseBlock(nn.Module):
     pallas_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, outer_residual: Optional[jax.Array] = None) -> jax.Array:
         if self.pallas_hw is not None:
-            from climsr_tpu.ops.pallas.rdb import fused_rdb_t
+            from climsr_tpu.ops.pallas.rdb import fused_rdb_res_t, fused_rdb_t
 
             h, w = self.pallas_hw
             dtype = self.dtype or x.dtype
@@ -106,7 +106,15 @@ class ResidualDenseBlock(nn.Module):
                 kernel, bias = _NamedConv3(co, name=f"conv{i}")(ci)
                 wb += [kernel.astype(dtype), bias.astype(dtype)]
             bt = max(1, 2048 // (h * w))
+            if outer_residual is not None:
+                # last block of an RRDB: emit outer_residual + 0.2*rdb(x) in
+                # the kernel's single HBM write instead of a separate
+                # elementwise pass (measured perf-neutral at the flagship
+                # shape — the pass hides behind kernel compute — but it
+                # strictly removes an op and its memory round trip)
+                return fused_rdb_res_t(x.astype(dtype), outer_residual.astype(dtype), h, w, *wb, bt)
             return fused_rdb_t(x.astype(dtype), h, w, *wb, bt)
+        assert outer_residual is None, "outer_residual folding is a pallas-path feature"
         if not self.concat_free:
             conv = partial(TorchConv, kernel_size=3, dtype=self.dtype)
             x1 = leaky_relu(conv(self.gc, name="conv1")(x))
@@ -159,6 +167,8 @@ class ResidualInResidualDenseBlock(nn.Module):
         )
         out = rdb(name="RDB1")(x)
         out = rdb(name="RDB2")(out)
+        if self.pallas_hw is not None:
+            return rdb(name="RDB3")(out, outer_residual=x)
         out = rdb(name="RDB3")(out)
         return out * 0.2 + x
 

@@ -177,7 +177,12 @@ def _tap_rows(w: jax.Array, k_pad: int) -> jax.Array:
     return jnp.zeros((kh * kw * cout, k_pad), w.dtype).at[:, :cin].set(rows)
 
 
-def _rdb_t_kernel(nf, gc, h, w, x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5):
+def _rdb_t_kernel(nf, gc, h, w, with_res, *refs):
+    if with_res:
+        x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
+    else:
+        x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
+        x0_ref = None
     total = nf + 4 * gc
     L = x_ref.shape[1]
     P = h * w
@@ -223,7 +228,13 @@ def _rdb_t_kernel(nf, gc, h, w, x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, fe
     y5[...] = jnp.broadcast_to(b5_ref[...].astype(jnp.float32), (nf, L))
     y5[...] += tap_reduce(z[: 9 * nf, :], nf, range(9), jnp.zeros((nf, 1), jnp.float32))
 
-    o_ref[...] = (x_ref[...].astype(jnp.float32) + 0.2 * y5[...]).astype(o_ref.dtype)
+    rdb_out = x_ref[...].astype(jnp.float32) + 0.2 * y5[...]
+    if x0_ref is None:
+        o_ref[...] = rdb_out.astype(o_ref.dtype)
+    else:
+        # fold the enclosing RRDB's 0.2-residual into this block's HBM write
+        # (saves a separate 3x-traffic elementwise pass per RRDB)
+        o_ref[...] = (x0_ref[...].astype(jnp.float32) + 0.2 * rdb_out).astype(o_ref.dtype)
 
 
 def nhwc_to_cl(x: jax.Array) -> jax.Array:
@@ -237,8 +248,11 @@ def cl_to_nhwc(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
     return jnp.transpose(x.reshape(c, n, h, w), (1, 2, 3, 0))
 
 
-def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
-    """xt: (nf, N*h*w) transposed layout. Returns the same layout."""
+def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4, x0t=None):
+    """xt: (nf, N*h*w) transposed layout. Returns the same layout.
+
+    With ``x0t`` the kernel emits ``x0 + 0.2 * rdb(xt)`` — the enclosing
+    RRDB's residual fused into the block's single HBM write."""
     nf, ntot = xt.shape
     gc = w1.shape[-1]
     total = nf + 4 * gc
@@ -260,10 +274,13 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     zrows = max(9 * gc, 9 * nf)
+    with_res = x0t is not None
+    data_in = [xt] + ([x0t] if with_res else [])
     return pl.pallas_call(
-        functools.partial(_rdb_t_kernel, nf, gc, h, w),
+        functools.partial(_rdb_t_kernel, nf, gc, h, w, with_res),
         grid=(n // bt,),
-        in_specs=[lane_spec(), full(wg.shape), full(bg.shape), full(w5rows.shape), full(b5r.shape)],
+        in_specs=[lane_spec() for _ in data_in]
+        + [full(wg.shape), full(bg.shape), full(w5rows.shape), full(b5r.shape)],
         out_specs=lane_spec(),
         out_shape=jax.ShapeDtypeStruct(xt.shape, xt.dtype),
         scratch_shapes=[
@@ -272,7 +289,7 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
             pltpu.VMEM((nf, L), jnp.float32),  # conv5 accumulator
         ],
         interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
-    )(xt, wg, bg, w5rows, b5r)
+    )(*data_in, wg, bg, w5rows, b5r)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 13))
@@ -301,6 +318,35 @@ def _bwd_t(h, w, batch_tile, residuals, g):
 
 
 fused_rdb_t.defvjp(_fwd_t, _bwd_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 14))
+def fused_rdb_res_t(xt, x0t, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
+    """``x0 + 0.2 * rdb(xt)`` fused into one kernel (transposed layout) —
+    the last dense block of an RRDB with the enclosing residual folded in."""
+    return _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile, x0t=x0t)
+
+
+def _fwd_res_t(xt, x0t, h, w, *args):
+    wargs = args[:10]
+    batch_tile = args[10]
+    out = _rdb_t_pallas_raw(xt, h, w, *wargs, batch_tile, x0t=x0t)
+    return out, (xt, x0t, wargs)
+
+
+def _bwd_res_t(h, w, batch_tile, residuals, g):
+    xt, x0t, wargs = residuals
+    nf, ntot = xt.shape
+    n = ntot // (h * w)
+
+    def ref_t(xt, x0t, *wargs):
+        return x0t + 0.2 * nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *wargs))
+
+    _, vjp = jax.vjp(ref_t, xt, x0t, *wargs)
+    return vjp(g)
+
+
+fused_rdb_res_t.defvjp(_fwd_res_t, _bwd_res_t)
 
 
 def rdb_reference(x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
