@@ -199,6 +199,15 @@ class Trainer:
             k: getattr(generator_cfg, k) for k in _GENERATOR_KWARGS if hasattr(generator_cfg, k)
         }
         gen_kwargs["remat"] = trainer_cfg.remat
+        # The fused Pallas trunk kernels are a forward-path optimization: their
+        # custom_vjp backward recomputes the forward through the XLA reference,
+        # so under training autodiff they add a rematerialized forward per step
+        # (measured 141.6 vs 128.3 ms/step at the flagship bs=192 config).
+        # generator.use_pallas=null (auto) therefore stays OFF for training —
+        # inference resolves auto to ON (config/instantiator.py) — while an
+        # explicit use_pallas=true is honored here too.
+        if getattr(generator_cfg, "use_pallas", None) is True:
+            gen_kwargs["use_pallas"] = True
         self.g_model = create_generator(self.generator_type, dtype=self.compute_dtype, **gen_kwargs)
         self.d_model = None
         if self.is_gan:

@@ -90,3 +90,31 @@ def test_vgg19_npz_round_trip(tmp_path, rng):
     a = VGG19Features(cutoff="conv3_4").apply(variables, x)
     b = VGG19Features(cutoff="conv3_4").apply(reloaded, x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_perceptual_loss_gradient_semantics(rng):
+    """The reference computes the perceptual loss under torch.no_grad()
+    (perceptual.py:23) -> zero gradient contribution; differentiable=True is
+    the working opt-in that actually backprops through the VGG graph."""
+    import jax
+
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+
+    torch.manual_seed(3)
+    features = _torch_vgg19_features()
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    variables = load_torchvision_weights(sd)
+
+    hr = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+    sr = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+
+    frozen = build_perceptual_loss(differentiable=False, compute_dtype=jnp.float32, variables=variables)
+    diff = build_perceptual_loss(differentiable=True, compute_dtype=jnp.float32, variables=variables)
+
+    # same value either way...
+    np.testing.assert_allclose(float(frozen(sr, hr)), float(diff(sr, hr)), rtol=1e-6)
+    # ...but only the differentiable variant produces gradients
+    g_frozen = jax.grad(lambda s: frozen(s, hr))(sr)
+    g_diff = jax.grad(lambda s: diff(s, hr))(sr)
+    assert float(jnp.max(jnp.abs(g_frozen))) == 0.0
+    assert float(jnp.max(jnp.abs(g_diff))) > 0.0
