@@ -233,6 +233,10 @@ class TaskConfig:
     # Reference keeps the VGG perceptual loss under no_grad (perceptual.py:23);
     # flip to True to actually backprop through it.
     differentiable_perceptual: bool = False
+    # VGG truncation depth for the perceptual loss; the reference uses
+    # features[:35] == conv5_4. Shallower cuts (e.g. conv2_2) give a cheap
+    # variant for CI and ablations.
+    perceptual_cutoff: str = "conv5_4"
 
 
 @dataclass

@@ -277,7 +277,9 @@ class Trainer:
             # (16 convs at HR size — pure overhead when its weight is zero).
             self.perceptual_fn = (
                 build_perceptual_loss(
-                    differentiable=task_cfg.differentiable_perceptual, compute_dtype=self.compute_dtype
+                    differentiable=task_cfg.differentiable_perceptual,
+                    compute_dtype=self.compute_dtype,
+                    cutoff=getattr(task_cfg, "perceptual_cutoff", "conv5_4"),
                 )
                 if task_cfg.perceptual_loss_factor
                 else None

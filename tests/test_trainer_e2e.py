@@ -58,9 +58,11 @@ def test_cli_gan_fit_smoke(tiny_world, tmp_path):
         "training.model_weights=null",
         "generator={name: esrgan, nf: 16, nb: 1, gc: 8}",
         "discriminator={name: esrgan, out_channels: 16}",
-        # zero weight skips the VGG19 graph — a full perceptual compile takes
-        # tens of minutes on the CPU test mesh (covered by unit tests instead)
-        "task.cfg.perceptual_loss_factor=0.0",
+        # a real (shallow, conv2_2) VGG perceptual graph in the fused G+D
+        # step — the full conv5_4 compile takes tens of minutes on the CPU
+        # test mesh and is covered by dryrun_multichip / test_gan_mesh
+        "task.cfg.perceptual_loss_factor=0.005",
+        "task.cfg.perceptual_cutoff=conv2_2",
         # single-device: 8-way SPMD partitioning of the fused G+D step is
         # compile-bound on CPU; the sharded path is covered by dryrun_multichip
         "trainer.num_devices=1",
