@@ -41,14 +41,10 @@ class RegistryInstantiator(Instantiator):
             "n_resgroups", "n_resblocks", "n_feats", "reduction",
             "num_rrdb_blocks", "num_rrfdb_blocks",
         )}
-        # use_pallas=None means auto: fused trunk kernels on the TPU backend
-        # (create_generator drops the kwarg for families without the field)
-        use_pallas = getattr(generator_cfg, "use_pallas", None)
-        if use_pallas is None:
-            import jax
-
-            use_pallas = jax.default_backend() == "tpu"
-        kwargs["use_pallas"] = bool(use_pallas)
+        # use_pallas=None means auto — resolved inside create_generator
+        # (fused trunk kernels on the TPU backend; dropped for families
+        # without the field)
+        kwargs["use_pallas"] = getattr(generator_cfg, "use_pallas", None)
         kwargs.update(overrides)
         return create_generator(generator_cfg.name, dtype=dtype, **kwargs)
 

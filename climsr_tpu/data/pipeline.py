@@ -263,7 +263,17 @@ def device_prefetch(
             def slice_local(x):
                 if np.ndim(x) == 0:
                     return x
-                return x[process_local_slice(np.shape(x)[0])]
+                n = np.shape(x)[0]
+                if n % jax.process_count():
+                    # a floor-divided slice would silently drop tail samples
+                    # while __valid__ still counts them — refuse loudly
+                    raise ValueError(
+                        f"global batch of {n} is not divisible by "
+                        f"process_count={jax.process_count()}; pick a batch "
+                        "size divisible by the process count (loaders pad the "
+                        "tail batch to full size, so this is a config issue)"
+                    )
+                return x[process_local_slice(n)]
 
             return put_global(jax.tree_util.tree_map(slice_local, batch), sharding)
         return jax.tree_util.tree_map(

@@ -44,12 +44,24 @@ PRE_UPSCALED_GENERATORS = {consts.models.srcnn}
 
 
 def create_generator(name: str, dtype: Optional[Any] = None, **kwargs) -> Any:
-    """Instantiate a generator module by registry name with config kwargs."""
+    """Instantiate a generator module by registry name with config kwargs.
+
+    ``use_pallas=None`` (or absent) means *auto*: the fused Pallas trunk
+    kernels are enabled on the TPU backend for families that support them.
+    This is the single resolution point for every construction path (CLIs,
+    instantiator, library use); pass an explicit True/False to override —
+    the trainer passes False because the kernels' custom_vjp backward
+    rematerializes the forward (see training/loop.py).
+    """
     if name not in GENERATORS:
         raise KeyError(f"Unknown generator '{name}'. Available: {sorted(GENERATORS)}")
     cls = GENERATORS[name]
     field_names = {f.name for f in cls.__dataclass_fields__.values()}
     kwargs = {k: v for k, v in kwargs.items() if k in field_names}
+    if "use_pallas" in field_names and kwargs.get("use_pallas", None) is None:
+        import jax
+
+        kwargs["use_pallas"] = jax.default_backend() == "tpu"
     return cls(dtype=dtype, **kwargs)
 
 

@@ -39,16 +39,8 @@ def _phase_kernels(w: jax.Array) -> Tuple[Tuple[jax.Array, ...], ...]:
     return tuple(out)
 
 
-def nearest_up2_conv3(
-    x: jax.Array,
-    kernel: jax.Array,
-    bias: Optional[jax.Array] = None,
-    precision=None,
-) -> jax.Array:
-    """Exactly ``conv3x3_same(nearest_upsample(x, 2))`` at ~2.25x fewer MACs.
-
-    x: (N, H, W, C); kernel: (3, 3, C, F) HWIO; returns (N, 2H, 2W, F).
-    """
+def _phase_outputs(x: jax.Array, kernel: jax.Array, precision) -> jax.Array:
+    """Shared phase-conv loop -> (N, H, W, 2, 2, F) per-phase outputs."""
     n, h, w_sz, c = x.shape
     f = kernel.shape[-1]
     phases = _phase_kernels(kernel)
@@ -64,8 +56,23 @@ def nearest_up2_conv3(
                 x, pk, (1, 1), pad, dimension_numbers=dn, precision=precision
             )
             outs.append(y)
+    return jnp.stack(outs, axis=-2).reshape(n, h, w_sz, 2, 2, f)
+
+
+def nearest_up2_conv3(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    precision=None,
+) -> jax.Array:
+    """Exactly ``conv3x3_same(nearest_upsample(x, 2))`` at ~2.25x fewer MACs.
+
+    x: (N, H, W, C); kernel: (3, 3, C, F) HWIO; returns (N, 2H, 2W, F).
+    """
+    n, h, w_sz, _ = x.shape
+    f = kernel.shape[-1]
+    stacked = _phase_outputs(x, kernel, precision)
     # interleave: out[2i+a, 2j+b] = phase[a][b][i, j]
-    stacked = jnp.stack(outs, axis=-2).reshape(n, h, w_sz, 2, 2, f)
     out = stacked.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w_sz, f)
     if bias is not None:
         out = out + bias
@@ -80,23 +87,11 @@ def nearest_up2_conv3_t(
 ) -> jax.Array:
     """As ``nearest_up2_conv3`` but emits the transposed lane layout
     ``(F, N*2H*2W)`` directly: the phase interleave and the channels-to-
-    sublanes transpose collapse into one relayout instead of two (feeds the
-    ``fused_hr_tail`` Pallas kernel)."""
-    n, h, w_sz, c = x.shape
+    sublanes transpose collapse into one relayout instead of two (the input
+    side of the ``fused_hr_tail`` Pallas kernel)."""
+    n, h, w_sz, _ = x.shape
     f = kernel.shape[-1]
-    phases = _phase_kernels(kernel)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (2, 2, c, f), ("NHWC", "HWIO", "NHWC"))
-
-    outs = []
-    for a in (0, 1):
-        for b in (0, 1):
-            pk = phases[a][b]
-            pad = ((1 - a, a), (1 - b, b))
-            y = jax.lax.conv_general_dilated(
-                x, pk, (1, 1), pad, dimension_numbers=dn, precision=precision
-            )
-            outs.append(y)
-    stacked = jnp.stack(outs, axis=-2).reshape(n, h, w_sz, 2, 2, f)
+    stacked = _phase_outputs(x, kernel, precision)
     # target lane order (n, 2i+a, 2j+b) with channels leading
     out = stacked.transpose(5, 0, 1, 3, 2, 4).reshape(f, n * 2 * h * 2 * w_sz)
     if bias is not None:

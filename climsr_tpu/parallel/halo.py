@@ -102,12 +102,7 @@ def spatial_sharded_apply(
     One exchange total — the per-layer traffic of exact halo convs is traded
     for ``2*halo`` rows of redundant compute per device.
     """
-    multi = spatial_sharded_apply_multi(fn, mesh, axis_name=axis_name, halo=halo, scale=scale)
-
-    def wrapped(x):
-        return multi(x)
-
-    return wrapped
+    return spatial_sharded_apply_multi(fn, mesh, axis_name=axis_name, halo=halo, scale=scale)
 
 
 def spatial_sharded_apply_multi(

@@ -100,6 +100,9 @@ class Trainer:
             # Reference pl.Trainer(deterministic=True) analogue: pin matmul /
             # conv accumulation to full precision so results are bit-stable
             # across runs and independent of XLA's precision autotuning.
+            # NOTE: like torch.use_deterministic_algorithms this is
+            # process-global and stays in effect after the trainer exits
+            # (jax.config has no scoped variant usable across our jits).
             jax.config.update("jax_default_matmul_precision", "highest")
         self.mesh = create_mesh(trainer_cfg.num_devices, tuple(trainer_cfg.mesh_axes))
         self.batch_sharding = batch_sharding(self.mesh)
@@ -203,11 +206,10 @@ class Trainer:
         # custom_vjp backward recomputes the forward through the XLA reference,
         # so under training autodiff they add a rematerialized forward per step
         # (measured 141.6 vs 128.3 ms/step at the flagship bs=192 config).
-        # generator.use_pallas=null (auto) therefore stays OFF for training —
-        # inference resolves auto to ON (config/instantiator.py) — while an
-        # explicit use_pallas=true is honored here too.
-        if getattr(generator_cfg, "use_pallas", None) is True:
-            gen_kwargs["use_pallas"] = True
+        # generator.use_pallas=null (auto) therefore resolves to OFF for
+        # training — create_generator resolves auto to ON for inference —
+        # while an explicit use_pallas=true is honored here too.
+        gen_kwargs["use_pallas"] = getattr(generator_cfg, "use_pallas", None) is True
         self.g_model = create_generator(self.generator_type, dtype=self.compute_dtype, **gen_kwargs)
         self.d_model = None
         if self.is_gan:

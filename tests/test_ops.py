@@ -92,3 +92,17 @@ def test_esrgan_fused_upsample_checkpoint_interchange(rng):
     np.testing.assert_allclose(
         np.asarray(fused.apply(v, x, e, m)), np.asarray(naive.apply(v, x, e, m)), atol=1e-4
     )
+
+
+def test_nearest_up2_conv3_t_matches_nhwc_variant(rng):
+    import jax.numpy as jnp
+
+    from climsr_tpu.ops.fused_upsample_conv import nearest_up2_conv3, nearest_up2_conv3_t
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 10, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 4)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32) * 0.1)
+    want = nearest_up2_conv3(x, k, b)  # (N, 2H, 2W, F)
+    got_t = nearest_up2_conv3_t(x, k, b)  # (F, N*2H*2W)
+    got = jnp.transpose(got_t.reshape(4, 2, 12, 20), (1, 2, 3, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
