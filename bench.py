@@ -8,9 +8,10 @@ Prints ONE JSON line:
 Methodology
 -----------
 - The flagship generator (the reference's trained config, conf/generator/
-  esrgan.yaml: nf=64, nb=11, gc=16) runs 4x SR on batches of 128x128-output
-  CRU-TS-style tiles in bfloat16 — the framework's production inference path
-  shape (overlap-tiled sliding window feeds exactly such batches).
+  esrgan.yaml: nf=64, nb=11, gc=16) runs 4x SR on batches of 32x32-LR /
+  128x128-output CRU-TS-style tiles in bfloat16 — the training-tile geometry
+  the models are built around (production whole-globe inference tiles the LR
+  frame at 128px with overlap; the per-pixel FLOP count is identical).
 - Timing: N forward passes are chained *inside one jit* with a real
   loop-carried data dependency (next input mixes in the downsampled output),
   so neither XLA loop-invariant hoisting nor the experimental axon transport's
