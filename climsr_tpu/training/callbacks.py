@@ -69,6 +69,11 @@ class LogImagesCallback:
         import jax
         import jax.numpy as jnp
 
+        # rank-zero only: TB image logging is guarded inside MetricLogger, but
+        # the extra generator forward and the figure PNGs should not run (or
+        # race on the same path) once per process under jax.distributed
+        if jax.process_index() != 0:
+            return
         loader = trainer.val_loader
         batch = next(iter(loader))
         batch.pop("__valid__", None)
