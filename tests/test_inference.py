@@ -270,3 +270,34 @@ def test_spatial_shard_inference_matches_single_device(cruts_fixture):
     np.testing.assert_allclose(
         np.nan_to_num(b[interior]), np.nan_to_num(a[interior]), atol=1e-4
     )
+
+
+def test_inspect_results_cli(cruts_fixture, tmp_path):
+    """Result-inspection CLI end to end: three comparison sets, plots + CSVs.
+
+    Reference: ``climsr/cli/inspect_results.py`` (custom points / built-in
+    mountain peaks / 2-location subset)."""
+    import pandas as pd
+
+    from climsr_tpu.cli.inspect_results import run
+    from climsr_tpu.config.schemas import ResultInspectionConfig
+
+    peaks = pd.DataFrame({"name": ["a", "b"], "lat": [10.0, -20.0], "lon": [30.0, 100.0], "altitude": [1000, 2000]})
+    peaks_path = tmp_path / "peaks.feather"
+    peaks.to_feather(peaks_path)
+
+    results_dir = tmp_path / "inspection"
+    run(ResultInspectionConfig(
+        ds_temp_nn_path=str(cruts_fixture["nc"]),
+        ds_temp_cru_path=str(cruts_fixture["nc"]),
+        peaks_feather=str(peaks_path),
+        results_dir=str(results_dir),
+    ))
+    for tag in ("peaks_feather", "mountain_peaks", "2_locations"):
+        assert (results_dir / f"{tag}.csv").exists()
+        assert (results_dir / f"{tag}_line.png").exists()
+        assert (results_dir / f"{tag}_box.png").exists()
+    # identical datasets -> per-point stats agree exactly in the table
+    frame = pd.read_csv(results_dir / "2_locations.csv")
+    assert (frame["nn_mean"] == frame["cru_mean"]).all()
+    assert (frame["nn_max"] == frame["cru_max"]).all()

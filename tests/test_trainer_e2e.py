@@ -95,3 +95,23 @@ def test_resume_from_checkpoint(tiny_world, tmp_path):
     ckpt_dir = glob.glob(f"{tmp_path}/outputs/runs/srcnn/*/checkpoints")[0]
     hp = main(base + ["trainer.max_epochs=1", f"trainer.resume_from_checkpoint={ckpt_dir}"])
     assert hp is not None and np.isfinite(hp)
+
+
+def test_cli_lr_finder(tiny_world, tmp_path):
+    """LR range test via the training CLI (reference: trainer.tune/lr_find,
+    cli/train.py:98-109): sweeps lr exponentially, writes the curve, returns
+    a finite suggestion without running a full fit."""
+    from climsr_tpu.cli.train import main
+
+    out = main([
+        "experiment=srcnn_pre_training_debug",
+        f"datamodule.cfg.data_path={tiny_world}",
+        "training.batch_size=8",
+        "training.lr_find_only=true",
+        "print_config=false",
+        f"training.output_dir={tmp_path}",
+    ])
+    assert out is not None and np.isfinite(out) and out > 0
+    import glob as _glob
+
+    assert _glob.glob(f"{tmp_path}/outputs/runs/srcnn/*/lr_find*"), "lr-finder curve artifacts written"
