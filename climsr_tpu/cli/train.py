@@ -119,7 +119,9 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
             return suggestion
         if training_cfg.run_fit:
             last_val = trainer.fit()
-        if training_cfg.run_test_after_fit:
+        # skip the test phase when evicted: the SIGTERM grace window is for
+        # the preemption checkpoint, not a full test pass
+        if training_cfg.run_test_after_fit and not trainer.preempted:
             trainer.test()
     finally:
         trainer.close()

@@ -96,6 +96,19 @@ class Trainer:
         self.metric_logger = MetricLogger.from_config(self.workdir, logger_cfg)
 
         self.compute_dtype = jnp.bfloat16 if trainer_cfg.precision == "bf16" else jnp.float32
+        # Preemption safety: TPU pods receive SIGTERM ahead of eviction. The
+        # handler only sets a flag; the train loop saves a checkpoint at the
+        # next step boundary and exits cleanly (resume via
+        # trainer.resume_from_checkpoint). The reference has no analogue —
+        # its recovery is fully manual (SURVEY.md §5.3).
+        self.preempted = False
+        self._prev_sigterm = None
+        try:
+            import signal
+
+            self._prev_sigterm = signal.signal(signal.SIGTERM, self._on_sigterm)
+        except ValueError:  # not in the main thread (e.g. some test runners)
+            pass
         if trainer_cfg.deterministic:
             # Reference pl.Trainer(deterministic=True) analogue: pin matmul /
             # conv accumulation to full precision so results are bit-stable
@@ -416,6 +429,17 @@ class Trainer:
         max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
         for epoch in range(max_epochs):
             self._staged("train_epoch", self.train_epoch, epoch)
+            if self.preempted:
+                self.ckpt.save(
+                    self.global_step, jax.device_get(self.state), hp_metric=None,
+                    config=self.config_snapshot,
+                )
+                self.ckpt.wait()
+                logger.warning(
+                    "Preemption checkpoint saved at step %d under %s — resume with "
+                    "trainer.resume_from_checkpoint", self.global_step, self.workdir / "checkpoints",
+                )
+                break
             if (epoch + 1) % tc.check_val_every_n_epoch == 0 or epoch == max_epochs - 1:
                 last_val = self._staged("validate", self.validate, epoch)
                 hp_metric = last_val.get("hp_metric")
@@ -460,6 +484,8 @@ class Trainer:
                 batch = jnp.asarray(batch)
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
+            if self.preempted:
+                break
             samples += n_in_batch
             if self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -551,7 +577,21 @@ class Trainer:
             results.append(out)
         return results
 
+    def _on_sigterm(self, signum, frame) -> None:
+        logger.warning(
+            "SIGTERM received — writing a preemption checkpoint at the next step boundary"
+        )
+        self.preempted = True
+
     def close(self) -> None:
+        if self._prev_sigterm is not None:
+            import signal
+
+            try:
+                signal.signal(signal.SIGTERM, self._prev_sigterm)
+            except ValueError:
+                pass
+            self._prev_sigterm = None
         self.ckpt.wait()
         self.ckpt.close()
         self.metric_logger.close()

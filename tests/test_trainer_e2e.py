@@ -115,3 +115,47 @@ def test_cli_lr_finder(tiny_world, tmp_path):
     import glob as _glob
 
     assert _glob.glob(f"{tmp_path}/outputs/runs/srcnn/*/lr_find*"), "lr-finder curve artifacts written"
+
+
+def test_preemption_checkpoint_on_sigterm(tiny_world, tmp_path):
+    """SIGTERM mid-training -> a checkpoint is written at the next step
+    boundary and fit() exits cleanly (TPU-pod eviction safety; the reference
+    has no analogue — recovery there is fully manual)."""
+    import os
+    import signal
+
+    from climsr_tpu.cli.train import main
+
+    # a callback that delivers SIGTERM to ourselves during the first epoch
+    import climsr_tpu.training.loop as loop_mod
+
+    orig_train_epoch = loop_mod.Trainer.train_epoch
+    fired = {"n": 0}
+
+    def sabotaged(self, epoch):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_train_epoch(self, epoch)
+
+    loop_mod.Trainer.train_epoch = sabotaged
+    try:
+        main([
+            "experiment=srcnn_pre_training_debug",
+            f"datamodule.cfg.data_path={tiny_world}",
+            "training.batch_size=8",
+            "trainer.max_epochs=50",  # preemption must cut this short
+            "trainer.limit_val_batches=1",
+            "trainer.limit_test_batches=1",
+            "trainer.save_top_k=1",
+            "print_config=false",
+            f"training.output_dir={tmp_path}",
+        ])
+    finally:
+        loop_mod.Trainer.train_epoch = orig_train_epoch
+
+    assert fired["n"] == 1
+    run_dirs = glob.glob(f"{tmp_path}/outputs/runs/srcnn/*")
+    assert len(run_dirs) == 1
+    ckpts = [p for p in glob.glob(f"{run_dirs[0]}/checkpoints/*") if p.split("/")[-1].isdigit()]
+    assert ckpts, "preemption checkpoint written"
