@@ -159,3 +159,44 @@ def test_preemption_checkpoint_on_sigterm(tiny_world, tmp_path):
     assert len(run_dirs) == 1
     ckpts = [p for p in glob.glob(f"{run_dirs[0]}/checkpoints/*") if p.split("/")[-1].isdigit()]
     assert ckpts, "preemption checkpoint written"
+
+
+def test_deterministic_training_is_bit_stable(tiny_world, tmp_path):
+    """trainer.deterministic=true: two runs with the same seed produce
+    bit-identical training losses (reference pl.Trainer(deterministic=True)
+    analogue — here it pins matmul/conv accumulation precision)."""
+    import pandas as _pd
+
+    from climsr_tpu.cli.train import main
+
+    def one_run(out_dir):
+        main([
+            "experiment=srcnn_pre_training_debug",
+            f"datamodule.cfg.data_path={tiny_world}",
+            "training.batch_size=8",
+            "trainer.max_epochs=1",
+            "trainer.limit_train_batches=3",
+            "trainer.limit_val_batches=1",
+            "trainer.limit_test_batches=1",
+            "trainer.deterministic=true",
+            "trainer.log_every_n_steps=1",
+            "trainer.save_top_k=0",
+            "print_config=false",
+            f"training.output_dir={out_dir}",
+        ])
+        run_dir = glob.glob(f"{out_dir}/outputs/runs/srcnn/*")[0]
+        rows, header = [], []
+        for line in open(f"{run_dir}/metrics.csv"):
+            cells = line.strip().split(",")
+            if cells and cells[0] == "step":
+                header = cells
+            elif cells and cells[0].isdigit():
+                # wall-clock throughput is legitimately nondeterministic
+                rows.append(tuple(
+                    v for h, v in zip(header, cells) if "samples_per_sec" not in h
+                ))
+        return rows
+
+    a = one_run(tmp_path / "a")
+    b = one_run(tmp_path / "b")
+    assert a and a == b
