@@ -186,10 +186,102 @@ class DeviceStatsMonitor:
             logger.debug("device memory_stats unavailable on this platform")
 
 
+
+
+class ModelPruningCallback:
+    """L1-unstructured magnitude pruning of the generator's weight kernels.
+
+    TPU-native analogue of ``pytorch_lightning.callbacks.ModelPruning`` with
+    ``pruning_fn='l1_unstructured'`` (reference
+    ``conf/callbacks/model_pruning.yaml``): after every validation, the
+    smallest-|w| ``amount`` fraction of each remaining conv/dense kernel is
+    zeroed; masks are cumulative across epochs (PL semantics). With
+    ``use_lottery_ticket_hypothesis=True`` the surviving weights are rewound
+    to their values captured at fit start
+    (``conf/callbacks/lottery_ticket.yaml``).
+    """
+
+    def __init__(self, amount: float = 0.25, use_lottery_ticket_hypothesis: bool = False):
+        self.amount = float(amount)
+        self.use_lottery_ticket_hypothesis = use_lottery_ticket_hypothesis
+        self._masks = None
+        self._initial = None
+
+    @staticmethod
+    def _prunable(leaf) -> bool:
+        return hasattr(leaf, "ndim") and leaf.ndim >= 2  # kernels, not biases/scalars
+
+    def on_fit_start(self, trainer) -> None:
+        import jax
+
+        if self.use_lottery_ticket_hypothesis:
+            self._initial = jax.device_get(trainer._generator_params())
+
+    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        params = jax.device_get(trainer._generator_params())
+        if self._masks is None:
+            self._masks = jax.tree_util.tree_map(
+                lambda w: np.ones_like(np.asarray(w), dtype=bool) if self._prunable(w) else None,
+                params,
+                is_leaf=lambda x: hasattr(x, "ndim"),
+            )
+
+        def prune(w, mask, w0):
+            if mask is None:
+                return np.asarray(w), None
+            w = np.asarray(w)
+            alive = np.abs(w)[mask]
+            if alive.size == 0:
+                return w * mask, mask
+            k = int(alive.size * self.amount)
+            if k > 0:
+                thresh = np.partition(alive, k - 1)[k - 1]
+                mask = mask & (np.abs(w) > thresh)
+            src = np.asarray(w0) if w0 is not None else w
+            return np.where(mask, src, 0.0).astype(w.dtype), mask
+
+        new_params = {}
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_m = jax.tree_util.tree_leaves(
+            self._masks, is_leaf=lambda x: x is None or isinstance(x, np.ndarray)
+        )
+        flat_0 = (
+            jax.tree_util.tree_leaves(self._initial)
+            if self._initial is not None
+            else [None] * len(flat_p)
+        )
+        pruned, masks = [], []
+        for w, m, w0 in zip(flat_p, flat_m, flat_0):
+            pw, pm = prune(w, m, w0)
+            pruned.append(jnp.asarray(pw))
+            masks.append(pm)
+        self._masks = jax.tree_util.tree_unflatten(treedef, masks)
+        new_params = jax.tree_util.tree_unflatten(treedef, pruned)
+        trainer._set_generator_params(new_params)
+        total = sum(int(np.asarray(m).size) for m in masks if m is not None)
+        zeros = sum(int((~m).sum()) for m in masks if m is not None)
+        logger.info(
+            "Pruned generator to %.1f%% sparsity%s",
+            100.0 * zeros / max(1, total),
+            " (lottery-ticket rewind)" if self.use_lottery_ticket_hypothesis else "",
+        )
+
+
+def _lottery_ticket() -> ModelPruningCallback:
+    return ModelPruningCallback(use_lottery_ticket_hypothesis=True)
+
+
 CALLBACK_REGISTRY = {
     "log_images": LogImagesCallback,
     "learning_rate_monitor": LearningRateMonitor,
     "device_stats_monitor": DeviceStatsMonitor,
+    "model_pruning": ModelPruningCallback,
+    "lottery_ticket": _lottery_ticket,
+    # the reference's GPUStatsMonitor -> the TPU device-stats monitor
+    "gpu_stats_monitor": DeviceStatsMonitor,
 }
 
 

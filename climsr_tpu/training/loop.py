@@ -375,6 +375,12 @@ class Trainer:
     def _generator_params(self):
         return self.state.g_params if self.is_gan else self.state.params
 
+    def _set_generator_params(self, params) -> None:
+        if self.is_gan:
+            self.state = self.state.replace(g_params=params)
+        else:
+            self.state = self.state.replace(params=params)
+
     def _limit(self, loader_len: int, limit) -> int:
         if self.trainer_cfg.fast_dev_run:
             return min(loader_len, 2)
@@ -427,6 +433,13 @@ class Trainer:
         tc = self.trainer_cfg
         last_val: Dict[str, float] = {}
         max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
+        for cb in self.callbacks:
+            hook = getattr(cb, "on_fit_start", None)
+            if hook is not None:
+                try:
+                    hook(self)
+                except Exception:
+                    logger.exception("Callback %s on_fit_start failed", type(cb).__name__)
         for epoch in range(max_epochs):
             self._staged("train_epoch", self.train_epoch, epoch)
             if self.preempted:

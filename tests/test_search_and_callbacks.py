@@ -136,3 +136,70 @@ def test_metric_logger_from_config(tmp_path):
     ml.log_metrics({"x": 2.0}, step=0)
     ml.close()
     assert (tmp_path / "c" / "metrics.csv").exists()
+
+
+def test_model_pruning_callback_magnitude_and_lottery():
+    """l1-unstructured magnitude pruning with cumulative masks and the
+    lottery-ticket rewind (reference conf/callbacks/{model_pruning,
+    lottery_ticket}.yaml -> PL ModelPruning)."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.training.callbacks import ModelPruningCallback
+
+    class FakeTrainer:
+        is_gan = False
+
+        def __init__(self, params):
+            self._params = params
+
+        def _generator_params(self):
+            return self._params
+
+        def _set_generator_params(self, p):
+            self._params = p
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
+    params = {"conv": {"kernel": jnp.asarray(w0), "bias": jnp.zeros((8,), jnp.float32)}}
+    tr = FakeTrainer(params)
+
+    cb = ModelPruningCallback(amount=0.5)
+    cb.on_fit_start(tr)
+    cb.on_validation_end(tr, 0, {})
+    k1 = np.asarray(tr._params["conv"]["kernel"])
+    sparsity1 = float((k1 == 0).mean())
+    assert 0.45 <= sparsity1 <= 0.55
+    # surviving weights unchanged; bias untouched
+    alive = k1 != 0
+    np.testing.assert_array_equal(k1[alive], w0[alive])
+    assert np.asarray(tr._params["conv"]["bias"]).shape == (8,)
+
+    # cumulative: second pass prunes half of the REMAINING weights
+    cb.on_validation_end(tr, 1, {})
+    k2 = np.asarray(tr._params["conv"]["kernel"])
+    assert float((k2 == 0).mean()) > sparsity1 + 0.15
+
+    # lottery ticket: weights "train" away, rewind restores the initial values
+    w_init = {"conv": {"kernel": jnp.asarray(w0), "bias": jnp.zeros((8,), jnp.float32)}}
+    tr2 = FakeTrainer(w_init)
+    lt = ModelPruningCallback(amount=0.3, use_lottery_ticket_hypothesis=True)
+    lt.on_fit_start(tr2)  # captures w0
+    tr2._params = {"conv": {"kernel": jnp.asarray(w0 + 1.0), "bias": jnp.zeros((8,), jnp.float32)}}
+    lt.on_validation_end(tr2, 0, {})
+    k3 = np.asarray(tr2._params["conv"]["kernel"])
+    alive3 = k3 != 0
+    # survivors equal the INITIAL values, not the trained ones
+    np.testing.assert_array_equal(k3[alive3], w0[alive3])
+
+
+def test_callback_registry_includes_pruning_and_gpu_stats_alias():
+    from climsr_tpu.training.callbacks import (
+        DeviceStatsMonitor,
+        ModelPruningCallback,
+        build_callbacks,
+    )
+
+    cbs = build_callbacks(["model_pruning", "lottery_ticket", "gpu_stats_monitor"])
+    assert isinstance(cbs[0], ModelPruningCallback) and not cbs[0].use_lottery_ticket_hypothesis
+    assert isinstance(cbs[1], ModelPruningCallback) and cbs[1].use_lottery_ticket_hypothesis
+    assert isinstance(cbs[2], DeviceStatsMonitor)
