@@ -59,6 +59,35 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
         seen += 1
     assert seen == 3
 
+    # --- a real train step over the 2-process mesh --------------------------
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.pretrain import make_pretrain_step
+    from climsr_tpu.training.train_state import TrainState
+
+    model = create_generator("srcnn", out_channels=1, use_pallas=False)
+    rng = np.random.default_rng(0)  # same seed on every process
+    global_bs = 8
+    batch_np = {
+        "lr": rng.normal(size=(global_bs, 16, 16, 1)).astype(np.float32),
+        "hr": rng.normal(size=(global_bs, 16, 16, 1)).astype(np.float32),
+        "elevation": np.zeros((global_bs, 16, 16, 1), np.float32),
+        "mask": np.ones((global_bs, 16, 16, 1), np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch_np["lr"][:1]))
+    tx = build_optimizer(OptimizerConfig(name="adamw", lr=1e-3), lambda s: 1e-3)
+    state = TrainState.create(variables["params"], tx)
+    state = jax.tree_util.tree_map(lambda x: put_replicated(np.asarray(x), mesh), state)
+    sl = process_local_slice(global_bs)
+    batch = put_global({k: v[sl] for k, v in batch_np.items()}, bsharding)
+    step = make_pretrain_step(model, "srcnn", tx, compute_dtype=jnp.float32, donate=False)
+    new_state, metrics = step(state, batch)
+    jax.block_until_ready(new_state.params)
+    loss = float(metrics["train/loss"])
+    assert np.isfinite(loss), loss
+    print(f"MP-TRAIN-LOSS p{process_id} {loss:.6f}", flush=True)
+
     print(f"MP-WORKER-OK p{process_id}", flush=True)
 
 

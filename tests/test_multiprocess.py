@@ -55,6 +55,13 @@ def test_two_process_data_mesh():
                 q.kill()
             raise
         outs.append(out)
+    losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MP-WORKER-OK p{i}" in out, out
+        for line in out.splitlines():
+            if line.startswith("MP-TRAIN-LOSS"):
+                losses.append(float(line.split()[-1]))
+    # the jitted step reduced gradients across BOTH processes' shards -> the
+    # loss (a global mean) is identical on every process
+    assert len(losses) == 2 and losses[0] == losses[1]
