@@ -117,6 +117,62 @@ class TorchDense(nn.Module):
         )(x)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with exact ``torch.nn.BatchNorm2d`` train-mode semantics.
+
+    Differences vs ``flax.linen.BatchNorm`` that matter for checkpoint
+    interop and the f64 gradient-golden parity tests
+    (tests/test_training_parity.py):
+
+    - the running **variance** is updated with the *unbiased* batch variance
+      (``n/(n-1)`` correction, n = N*H*W per channel), while normalization in
+      train mode uses the biased one — exactly torch's split,
+    - ``momentum`` follows the flax convention (retain rate of the old
+      stats); 0.9 here == torch ``momentum=0.1``.
+
+    Param/collection names match ``nn.BatchNorm`` ("scale"/"bias",
+    batch_stats "mean"/"var") so the torch state-dict importer and existing
+    checkpoints are unaffected.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        features = x.shape[-1]
+        stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), stat_dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), stat_dtype)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            xs = x.astype(stat_dtype)
+            mean = jnp.mean(xs, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xs - mean), axis=(0, 1, 2))  # biased
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+
+        out_dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(stat_dtype)
+        y = (x.astype(stat_dtype) - mean) * inv + bias.astype(stat_dtype)
+        return y.astype(out_dtype)
+
+
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=negative_slope)
 

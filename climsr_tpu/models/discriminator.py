@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 from flax import linen as nn
 
-from climsr_tpu.models.common import Dtype, TorchConv, TorchDense, reflect_pad_2d
+from climsr_tpu.models.common import Dtype, TorchBatchNorm, TorchConv, TorchDense, reflect_pad_2d
 
 
 class Discriminator(nn.Module):
@@ -35,7 +35,7 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         conv = partial(TorchConv, kernel_size=3, padding=0, dtype=self.dtype)
-        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        bn = partial(TorchBatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         features = self.out_channels
         for i in range(self.num_conv_block):

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from climsr_tpu.models.common import (
     Dtype,
+    TorchBatchNorm,
     TorchConv,
     TorchDense,
     adaptive_avg_pool,
@@ -190,7 +191,7 @@ class RFBESRGANDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         conv = partial(TorchConv, kernel_size=3, use_bias=False, dtype=self.dtype)
-        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        bn = partial(TorchBatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         out = leaky_relu(conv(64, name="conv0")(x))
         out = leaky_relu(bn(name="bn1")(conv(64, strides=2, name="conv1")(out)))

@@ -59,13 +59,26 @@ class VGG19Features(nn.Module):
 
 
 def load_torchvision_weights(state_dict) -> Dict:
-    """Convert torchvision vgg19 ``features`` state dict (OIHW) to flax params (HWIO)."""
+    """Convert torchvision vgg19 ``features`` state dict (OIHW) to flax params (HWIO).
+
+    Truncated state dicts (only the layers up to some depth, e.g. the
+    committed conv2_2 golden weights) convert to a correspondingly truncated
+    param tree; a hole in the middle of the stack is still an error.
+    """
     params = {}
     conv_names = [item[0] for item in _VGG19_CFG if item != "M"]
     for name, idx in zip(conv_names, _TORCH_INDICES):
+        if f"features.{idx}.weight" not in state_dict:
+            break  # truncated stack: everything deeper is absent too
         w = np.asarray(state_dict[f"features.{idx}.weight"])  # (O, I, H, W)
         b = np.asarray(state_dict[f"features.{idx}.bias"])
         params[name] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}
+    missing = [
+        f"features.{idx}" for name, idx in zip(conv_names, _TORCH_INDICES)
+        if name not in params and f"features.{idx}.weight" in state_dict
+    ]
+    if missing:
+        raise KeyError(f"non-contiguous VGG19 state dict, stray layers: {missing}")
     return {"params": params}
 
 
@@ -90,11 +103,32 @@ def default_weights_path() -> Path:
     return Path(__file__).resolve().parents[2] / "weights" / "vgg19_features.npz"
 
 
+def layers_through(cutoff: str) -> list:
+    """Conv names at or before ``cutoff`` in the VGG19 feature stack."""
+    names = []
+    for item in _VGG19_CFG:
+        if item == "M":
+            continue
+        names.append(item[0])
+        if item[0] == cutoff:
+            return names
+    raise ValueError(f"cutoff {cutoff!r} not in VGG19 config")
+
+
+def _truncate(variables: Dict, cutoff: str) -> Dict:
+    keep = set(layers_through(cutoff))
+    return {"params": {k: v for k, v in variables["params"].items() if k in keep}}
+
+
 def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
-    """Best effort: cached npz, then a locally-cached torchvision checkpoint."""
+    """Best effort: cached npz, then a locally-cached torchvision checkpoint.
+
+    Only the layers at or before ``cutoff`` are returned — a shallow
+    perceptual cutoff neither loads nor carries the deeper conv params.
+    """
     npz = default_weights_path()
     if npz.exists():
-        return load_npz(npz)
+        return _truncate(load_npz(npz), cutoff)
     try:
         import torch
         from torch.hub import get_dir
@@ -103,7 +137,7 @@ def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
         candidates = sorted(hub.glob("vgg19-*.pth"))
         if candidates:
             sd = torch.load(candidates[0], map_location="cpu", weights_only=True)
-            return load_torchvision_weights(sd)
+            return _truncate(load_torchvision_weights(sd), cutoff)
     except Exception:
         pass
     return None

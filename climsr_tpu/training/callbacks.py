@@ -195,17 +195,24 @@ class ModelPruningCallback:
     ``pruning_fn='l1_unstructured'`` (reference
     ``conf/callbacks/model_pruning.yaml``): after every validation, the
     smallest-|w| ``amount`` fraction of each remaining conv/dense kernel is
-    zeroed; masks are cumulative across epochs (PL semantics). With
-    ``use_lottery_ticket_hypothesis=True`` the surviving weights are rewound
-    to their values captured at fit start
+    zeroed; masks are cumulative across epochs (PL semantics, whose default
+    ``amount=0.5`` is kept). Like PL — which re-applies masks on every
+    forward via weight hooks — the mask is enforced every train step:
+    ``on_train_batch_end`` multiplies the generator params by the current
+    mask on device (one fused elementwise pass, dispatched async), so the
+    optimizer cannot drive pruned weights away from zero between
+    validations. With ``use_lottery_ticket_hypothesis=True`` the surviving
+    weights are rewound to their values captured at fit start
     (``conf/callbacks/lottery_ticket.yaml``).
     """
 
-    def __init__(self, amount: float = 0.25, use_lottery_ticket_hypothesis: bool = False):
+    def __init__(self, amount: float = 0.5, use_lottery_ticket_hypothesis: bool = False):
         self.amount = float(amount)
         self.use_lottery_ticket_hypothesis = use_lottery_ticket_hypothesis
         self._masks = None
         self._initial = None
+        self._device_masks = None
+        self._apply_masks = None
 
     @staticmethod
     def _prunable(leaf) -> bool:
@@ -261,12 +268,32 @@ class ModelPruningCallback:
         self._masks = jax.tree_util.tree_unflatten(treedef, masks)
         new_params = jax.tree_util.tree_unflatten(treedef, pruned)
         trainer._set_generator_params(new_params)
+        # device copies of the masks (flat, aligned with tree_leaves(params))
+        # for the cheap per-step re-application
+        self._device_masks = tuple(
+            None if m is None else jnp.asarray(m, pw.dtype) for m, pw in zip(masks, pruned)
+        )
+        if self._apply_masks is None:
+
+            def apply(p, mk):
+                leaves, tdef = jax.tree_util.tree_flatten(p)
+                out = [w if m is None else w * m for w, m in zip(leaves, mk)]
+                return jax.tree_util.tree_unflatten(tdef, out)
+
+            self._apply_masks = jax.jit(apply)
         total = sum(int(np.asarray(m).size) for m in masks if m is not None)
         zeros = sum(int((~m).sum()) for m in masks if m is not None)
         logger.info(
             "Pruned generator to %.1f%% sparsity%s",
             100.0 * zeros / max(1, total),
             " (lottery-ticket rewind)" if self.use_lottery_ticket_hypothesis else "",
+        )
+
+    def on_train_batch_end(self, trainer) -> None:
+        if self._device_masks is None:
+            return
+        trainer._set_generator_params(
+            self._apply_masks(trainer._generator_params(), self._device_masks)
         )
 
 

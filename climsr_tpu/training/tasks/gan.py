@@ -50,7 +50,38 @@ def make_gan_step(
     augment: Optional[Dict] = None,
     augment_seed: int = 0,
     store: Optional[Dict] = None,
+    zero: Optional[Dict] = None,
 ):
+    # accumulation dtype: f32 for bf16/f32 compute, f64 under x64 (exact
+    # f64 gradient-golden parity tests)
+    acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
+    # DeepSpeed-ZeRO-style partitioning, see make_pretrain_step docstring:
+    # {"stage": 2|3, "g_shardings": ..., "d_shardings": ...}
+    zero_stage = (zero or {}).get("stage", 0)
+    g_shardings = (zero or {}).get("g_shardings")
+    d_shardings = (zero or {}).get("d_shardings")
+
+    def _gather(params, shardings):
+        if zero_stage >= 3 and shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh = jax.tree_util.tree_leaves(shardings)[0].mesh
+            repl = NamedSharding(mesh, PartitionSpec())
+            return jax.lax.with_sharding_constraint(
+                params, jax.tree_util.tree_map(lambda _: repl, params)
+            )
+        return params
+
+    def _shard_grads(grads, shardings):
+        if zero_stage >= 2 and shardings is not None:
+            return jax.lax.with_sharding_constraint(grads, shardings)
+        return grads
+
+    def _shard_params(params, shardings):
+        if zero_stage >= 3 and shardings is not None:
+            return jax.lax.with_sharding_constraint(params, shardings)
+        return params
+
     def forward_g(g_params, batch):
         x = batch[B.lr].astype(compute_dtype)
         if generator_type in FUSION_GENERATORS:
@@ -59,7 +90,7 @@ def make_gan_step(
             )
         else:
             out = g_model.apply({"params": g_params}, x)
-        return out.astype(jnp.float32)
+        return out.astype(acc_dtype)
 
     def apply_d(d_params, d_bs, x):
         x = x.astype(compute_dtype)
@@ -67,8 +98,8 @@ def make_gan_step(
             out, upd = d_model.apply(
                 {"params": d_params, "batch_stats": d_bs}, x, train=True, mutable=["batch_stats"]
             )
-            return out.astype(jnp.float32), upd["batch_stats"]
-        return d_model.apply({"params": d_params}, x, train=True).astype(jnp.float32), None
+            return out.astype(acc_dtype), upd["batch_stats"]
+        return d_model.apply({"params": d_params}, x, train=True).astype(acc_dtype), None
 
     def step(state: GANTrainState, batch: Dict) -> Tuple[GANTrainState, Dict[str, jax.Array]]:
         if store is not None:
@@ -79,13 +110,15 @@ def make_gan_step(
 
             rng = jax.random.fold_in(jax.random.PRNGKey(augment_seed), state.step)
             batch = augment_and_assemble(batch, rng, generator_type, **augment)
-        hr = batch[B.hr].astype(jnp.float32)
+        hr = batch[B.hr].astype(acc_dtype)
 
         # ---- generator update -------------------------------------------
+        d_params_full = _gather(state.d_params, d_shardings)
+
         def g_loss_fn(g_params, d_bs):
-            sr = forward_g(g_params, batch)
-            score_real, d_bs = apply_d(state.d_params, d_bs, hr)
-            score_fake, d_bs = apply_d(state.d_params, d_bs, sr)
+            sr = forward_g(_gather(g_params, g_shardings), batch)
+            score_real, d_bs = apply_d(d_params_full, d_bs, hr)
+            score_fake, d_bs = apply_d(d_params_full, d_bs, sr)
             adversarial = relativistic_g_loss(score_real, score_fake)
             pixel = jnp.mean(jnp.abs(sr - hr))
             perceptual = perceptual_fn(sr, hr) if perceptual_fn is not None else jnp.float32(0.0)
@@ -100,21 +133,24 @@ def make_gan_step(
             return loss_g, aux
 
         (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params, state.d_batch_stats)
+        g_grads = _shard_grads(g_grads, g_shardings)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
+        g_params = _shard_params(optax.apply_updates(state.g_params, g_updates), g_shardings)
         sr = aux["sr"]
         d_bs = aux["d_bs"]
 
         # ---- discriminator update ---------------------------------------
         def d_loss_fn(d_params, d_bs):
+            d_params = _gather(d_params, d_shardings)
             sr_det = jax.lax.stop_gradient(sr)
             score_real, d_bs = apply_d(d_params, d_bs, hr)
             score_fake, d_bs = apply_d(d_params, d_bs, sr_det)
             return relativistic_d_loss(score_real, score_fake), d_bs
 
         (loss_d, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params, d_bs)
+        d_grads = _shard_grads(d_grads, d_shardings)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params = _shard_params(optax.apply_updates(state.d_params, d_updates), d_shardings)
 
         new_state = state.replace(
             step=state.step + 1,

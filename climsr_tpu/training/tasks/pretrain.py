@@ -59,6 +59,7 @@ def make_pretrain_step(
     augment: Optional[Dict] = None,
     augment_seed: int = 0,
     store: Optional[Dict] = None,
+    zero: Optional[Dict] = None,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict[str, jax.Array]]]:
     """``augment``: when set (dict of augment_and_assemble kwargs), the batch
     carries raw {hr, elevation, mask} tiles and flips/rot90 + LR synthesis run
@@ -66,8 +67,25 @@ def make_pretrain_step(
 
     ``store``: device-resident tile store ({hr, elevation, mask} stacked on
     HBM); the step then takes an int32 index vector instead of a batch and
-    gathers on device — zero per-step host transfer."""
+    gathers on device — zero per-step host transfer.
+
+    ``zero``: DeepSpeed-ZeRO-style partitioning over the mesh (reference
+    ``conf/plugins/deepspeed*.yaml``), expressed as GSPMD sharding
+    constraints: ``{"stage": 2|3, "shardings": <pytree of NamedShardings
+    aligned with params>}``. Stage 2 constrains the gradients to the sharded
+    specs (XLA then lowers the DP gradient sum to a reduce-scatter, runs the
+    optimizer on shards, and all-gathers the updated parameters). Stage 3
+    additionally keeps ``state.params`` persistently sharded: the forward
+    gathers them on use (an all-gather XLA schedules with the first
+    consumers), and the with_sharding_constraint VJP delivers the gradients
+    pre-sharded. Optimizer-state sharding (stage 1) is the caller's
+    ``device_put`` of ``state.opt_state`` — orthogonal to this hook."""
     loss_fn = pixel_loss_fn(generator_type)
+    zero_stage = (zero or {}).get("stage", 0)
+    zero_shardings = (zero or {}).get("shardings")
+    # loss/grad accumulation dtype: f32 for bf16/f32 compute, f64 under x64
+    # (keeps the f64 gradient-golden parity tests exact)
+    acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
 
     def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if store is not None:
@@ -80,12 +98,33 @@ def make_pretrain_step(
             batch = augment_and_assemble(batch, rng, generator_type, **augment)
 
         def compute_loss(params):
+            if zero_stage >= 3 and zero_shardings is not None:
+                # gather-on-use: the persistent params are sharded; this
+                # replication constraint makes XLA all-gather each leaf where
+                # it is first consumed instead of partitioning the convs over
+                # weight shards.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                mesh = jax.tree_util.tree_leaves(zero_shardings)[0].mesh
+                repl = NamedSharding(mesh, PartitionSpec())
+                params = jax.lax.with_sharding_constraint(
+                    params, jax.tree_util.tree_map(lambda _: repl, params)
+                )
             sr = _forward(model, generator_type, params, batch, compute_dtype)
-            return loss_fn(sr.astype(jnp.float32), batch[B.hr].astype(jnp.float32))
+            return loss_fn(sr.astype(acc_dtype), batch[B.hr].astype(acc_dtype))
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        if zero_stage >= 2 and zero_shardings is not None:
+            # ZeRO-2: pin the gradients to the sharded layout — under GSPMD
+            # the DP gradient all-reduce then lowers to reduce-scatter, the
+            # optimizer update runs on shards, and the updated params are
+            # all-gathered once below.
+            grads = jax.lax.with_sharding_constraint(grads, zero_shardings)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if zero_stage >= 3 and zero_shardings is not None:
+            # ZeRO-3: params stay persistently sharded between steps
+            new_params = jax.lax.with_sharding_constraint(new_params, zero_shardings)
         new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state)
         metrics = {"train/loss": loss, "grad_norm": optax.global_norm(grads)}
         return new_state, metrics

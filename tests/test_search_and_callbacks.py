@@ -179,6 +179,15 @@ def test_model_pruning_callback_magnitude_and_lottery():
     k2 = np.asarray(tr._params["conv"]["kernel"])
     assert float((k2 == 0).mean()) > sparsity1 + 0.15
 
+    # per-step enforcement (PL keeps params masked at every step): optimizer
+    # drift on pruned positions is zeroed again by on_train_batch_end
+    drifted = k2 + 0.5  # every weight moves away from zero
+    tr._params = {"conv": {"kernel": jnp.asarray(drifted), "bias": jnp.zeros((8,), jnp.float32)}}
+    cb.on_train_batch_end(tr)
+    k_masked = np.asarray(tr._params["conv"]["kernel"])
+    np.testing.assert_array_equal(k_masked[k2 == 0], 0.0)
+    np.testing.assert_array_equal(k_masked[k2 != 0], drifted[k2 != 0])
+
     # lottery ticket: weights "train" away, rewind restores the initial values
     w_init = {"conv": {"kernel": jnp.asarray(w0), "bias": jnp.zeros((8,), jnp.float32)}}
     tr2 = FakeTrainer(w_init)
