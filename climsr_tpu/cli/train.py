@@ -79,12 +79,16 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
 
     datamodule = SuperResolutionDataModule(data_cfg)
 
+    # every process must resolve the SAME run dir (orbax multi-host checkpoint
+    # coordination writes into one tree), so the timestamp is process-0's
+    from climsr_tpu.parallel.mesh import broadcast_string
+
     run_dir = (
         Path(training_cfg.output_dir)
         / "outputs"
         / "runs"
         / training_cfg.generator_type
-        / time.strftime("%Y-%m-%d_%H-%M-%S")
+        / broadcast_string(time.strftime("%Y-%m-%d_%H-%M-%S"))
     )
     from climsr_tpu.training.callbacks import build_callbacks
 

@@ -168,6 +168,11 @@ class TrainerConfig:
     num_devices: Optional[int] = None  # None = all visible
     mesh_axes: Tuple[str, ...] = ("data",)
     shard_optimizer_state: bool = False  # ZeRO-1 analogue over the data axis
+    # DeepSpeed ZeRO stage analogue (conf/plugins/deepspeed*.yaml):
+    # None -> derived from shard_optimizer_state (1 if set else 0);
+    # 1 = optimizer-state sharding; 2 = + gradient reduce-scatter;
+    # 3 = + parameter sharding with all-gather-on-use.
+    zero_stage: Optional[int] = None
     remat: bool = False  # rematerialize heavy blocks to save HBM
     # augmentation + LR synthesis inside the jitted train step (ops/augment.py);
     # host then only ships raw normalized tiles

@@ -69,6 +69,35 @@ def shard_leading_dim_if_divisible(pytree, mesh: Mesh, axis: str = "data", min_s
     return jax.tree_util.tree_map(rule, pytree)
 
 
+def shard_largest_divisible_dim(pytree, mesh: Mesh, axis: str = "data", min_size: int = 2**14):
+    """Sharding pytree for ZeRO-2/3 parameter/gradient partitioning.
+
+    Each big-enough leaf is sharded along its LARGEST dimension divisible by
+    the axis size (conv kernels are (kh, kw, cin, cout) — the leading dims
+    are 3, so leading-dim-only sharding would leave the bulk of a conv net
+    replicated). Leaves with no divisible dim, or too small to be worth the
+    collective, stay replicated. The optimizer update is elementwise, so any
+    dim is a valid partition axis.
+    """
+    axis_size = mesh.shape[axis]
+    repl = replicated(mesh)
+
+    def rule(leaf):
+        if not (hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.size >= min_size):
+            return repl
+        best = None
+        for d, n in enumerate(leaf.shape):
+            if n % axis_size == 0 and n > 0 and (best is None or n > leaf.shape[best]):
+                best = d
+        if best is None:
+            return repl
+        spec = [None] * leaf.ndim
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(rule, pytree)
+
+
 def put_replicated(pytree, mesh: Mesh):
     return put_global(pytree, replicated(mesh))
 
@@ -80,9 +109,12 @@ def put_global(pytree, sharding: NamedSharding):
     ``jax.distributed`` a process can only ``device_put`` to its own devices,
     so global arrays are assembled with
     ``jax.make_array_from_process_local_data`` instead — each process passes
-    the data for ITS addressable shards: its slice of the batch for a
-    batch-sharded ``NamedSharding``, or the identical full array for a
-    replicated one (the function slices per the sharding either way).
+    the data for ITS addressable shards. For a process-sharded sharding (e.g.
+    the batch axis over ``data``) that means the caller MUST pass its
+    pre-sliced local slice (``process_local_slice``), as ``device_prefetch``
+    does; passing the full global array there would silently build a
+    ``process_count``-times-larger global with duplicated data. Passing the
+    identical full array is only valid for replicated shardings.
 
     This is the multi-host-correct replacement for the reference's
     ``DistributedSampler`` + per-rank ``.to(device)`` pattern
@@ -98,6 +130,23 @@ def put_global(pytree, sharding: NamedSharding):
         return jax.make_array_from_process_local_data(sharding, arr)
 
     return jax.tree_util.tree_map(put, pytree)
+
+
+def broadcast_string(s: str, max_len: int = 256) -> str:
+    """Broadcast a string from process 0 to all processes (no-op single-host).
+
+    Used for values every process must agree on byte-for-byte, e.g. the
+    timestamped run directory that orbax checkpoint coordination writes into.
+    """
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_len,), np.uint8)
+    raw = s.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode()
 
 
 def process_local_slice(n: int) -> slice:

@@ -37,7 +37,7 @@ class CheckpointManager:
     def save(self, step: int, state: Any, hp_metric: Optional[float] = None, config: Optional[Dict] = None) -> None:
         metrics = {"hp_metric": float(hp_metric)} if hp_metric is not None else None
         self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
-        if config is not None:
+        if config is not None and jax.process_index() == 0:
             cfg_path = self.directory / "config.json"
             if not cfg_path.exists():
                 cfg_path.write_text(json.dumps(config, indent=2, default=str))

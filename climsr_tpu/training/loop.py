@@ -267,24 +267,31 @@ class Trainer:
             grafted = restore_generator_params(training_cfg.model_weights, g_params)
             state = state.replace(**({"g_params": grafted} if self.is_gan else {"params": grafted}))
 
-        self.state = put_replicated(state, self.mesh)
-        if trainer_cfg.shard_optimizer_state and self.mesh.devices.size > 1:
-            # ZeRO-1 analogue (reference fairscale/DeepSpeed plugin configs):
-            # scatter eligible optimizer-state leaves over the data axis; XLA
-            # inserts the gather/scatter collectives around the update.
-            from climsr_tpu.parallel.mesh import shard_leading_dim_if_divisible
-
-            def shard_opt(opt_state):
-                rules = shard_leading_dim_if_divisible(opt_state, self.mesh)
-                return jax.tree_util.tree_map(jax.device_put, opt_state, rules)
+        # DeepSpeed-ZeRO capability ladder (reference conf/plugins/*):
+        # stage 1 scatters eligible optimizer-state leaves over the data axis;
+        # stage 2 additionally pins gradients to the sharded layout inside the
+        # step (GSPMD lowers the DP grad sum to reduce-scatter); stage 3 keeps
+        # the parameters persistently sharded with all-gather-on-use.
+        stage = trainer_cfg.zero_stage
+        if stage is None:
+            stage = 1 if trainer_cfg.shard_optimizer_state else 0
+        self.zero_stage = int(stage) if self.mesh.devices.size > 1 else 0
+        self._zero_cfg: Dict[str, Any] = {}
+        if self.zero_stage >= 2:
+            from climsr_tpu.parallel.mesh import shard_largest_divisible_dim
 
             if self.is_gan:
-                self.state = self.state.replace(
-                    g_opt_state=shard_opt(self.state.g_opt_state),
-                    d_opt_state=shard_opt(self.state.d_opt_state),
-                )
+                self._zero_cfg = {
+                    "stage": self.zero_stage,
+                    "g_shardings": shard_largest_divisible_dim(state.g_params, self.mesh),
+                    "d_shardings": shard_largest_divisible_dim(state.d_params, self.mesh),
+                }
             else:
-                self.state = self.state.replace(opt_state=shard_opt(self.state.opt_state))
+                self._zero_cfg = {
+                    "stage": self.zero_stage,
+                    "shardings": shard_largest_divisible_dim(state.params, self.mesh),
+                }
+        self.state = self._place_state(state)
 
         # ---- compiled steps ------------------------------------------------
         if self.is_gan:
@@ -309,6 +316,7 @@ class Trainer:
                 augment=self._augment_kwargs,
                 augment_seed=training_cfg.seed,
                 store=self.train_store,
+                zero=self._zero_cfg or None,
             )
             self.gan_val_losses = make_gan_val_losses(
                 self.g_model, self.d_model, self.generator_type,
@@ -322,7 +330,7 @@ class Trainer:
             self.train_step = make_pretrain_step(
                 self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype,
                 augment=self._augment_kwargs, augment_seed=training_cfg.seed,
-                store=self.train_store,
+                store=self.train_store, zero=self._zero_cfg or None,
             )
 
         zmean = zstd = 0.0
@@ -350,9 +358,9 @@ class Trainer:
 
         if trainer_cfg.resume_from_checkpoint:
             restored = CheckpointManager(trainer_cfg.resume_from_checkpoint, save_top_k=0).restore(
-                jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+                jax.tree_util.tree_map(np.asarray, self._host_state())
             )
-            self.state = put_replicated(restored, self.mesh)
+            self.state = self._place_state(restored)
             self.global_step = int(jax.device_get(self.state.step))
             logger.info("Resumed from %s at step %d", trainer_cfg.resume_from_checkpoint, self.global_step)
 
@@ -363,6 +371,54 @@ class Trainer:
         )
 
     # -----------------------------------------------------------------------
+    def _place_state(self, state):
+        """Device placement of a (host or device) state per the ZeRO stage:
+        replicate everything, then scatter optimizer state (stage >= 1) and
+        parameters (stage 3) over the mesh. Used at init and after resume."""
+        state = put_replicated(jax.tree_util.tree_map(jnp.asarray, state), self.mesh)
+        if self.zero_stage < 1:
+            return state
+        from climsr_tpu.parallel.mesh import shard_largest_divisible_dim
+
+        def shard_tree(tree, rules=None):
+            rules = rules or shard_largest_divisible_dim(tree, self.mesh)
+            return jax.tree_util.tree_map(jax.device_put, tree, rules)
+
+        if self.is_gan:
+            state = state.replace(
+                g_opt_state=shard_tree(state.g_opt_state),
+                d_opt_state=shard_tree(state.d_opt_state),
+            )
+            if self.zero_stage >= 3:
+                state = state.replace(
+                    g_params=shard_tree(state.g_params, self._zero_cfg["g_shardings"]),
+                    d_params=shard_tree(state.d_params, self._zero_cfg["d_shardings"]),
+                )
+        else:
+            state = state.replace(opt_state=shard_tree(state.opt_state))
+            if self.zero_stage >= 3:
+                state = state.replace(params=shard_tree(state.params, self._zero_cfg["shardings"]))
+        return state
+
+    def _host_state(self):
+        """Host copy of the train state for checkpointing.
+
+        Single-process: a plain ``device_get``. Under ``jax.distributed``
+        ZeRO-sharded leaves span non-addressable devices, so the global value
+        is assembled with ``multihost_utils.process_allgather`` instead (every
+        process gets the full pytree; orbax then coordinates the actual
+        write). Fixes the round-2 finding on loop.py:447,460.
+        """
+        if jax.process_count() == 1:
+            return jax.device_get(self.state)
+        from jax.experimental import multihost_utils
+
+        # tiled=True: global (possibly non-fully-addressable) arrays come back
+        # as their assembled global value, not stacked per process
+        return jax.tree_util.tree_map(
+            np.asarray, multihost_utils.process_allgather(self.state, tiled=True)
+        )
+
     def _example_inputs(self, cfg):
         ds = self.dm.train_dataset
         lr_size = ds.hr_size if self.generator_type in ("srcnn",) else ds.lr_size
@@ -433,6 +489,9 @@ class Trainer:
         tc = self.trainer_cfg
         last_val: Dict[str, float] = {}
         max_epochs = 1 if tc.fast_dev_run else tc.max_epochs
+        # per-step hooks are opt-in (only pruning uses one) so the common
+        # path pays no per-batch Python dispatch for hookless callbacks
+        self._batch_end_cbs = [cb for cb in self.callbacks if hasattr(cb, "on_train_batch_end")]
         for cb in self.callbacks:
             hook = getattr(cb, "on_fit_start", None)
             if hook is not None:
@@ -444,7 +503,7 @@ class Trainer:
             self._staged("train_epoch", self.train_epoch, epoch)
             if self.preempted:
                 self.ckpt.save(
-                    self.global_step, jax.device_get(self.state), hp_metric=None,
+                    self.global_step, self._host_state(), hp_metric=None,
                     config=self.config_snapshot,
                 )
                 self.ckpt.wait()
@@ -458,7 +517,7 @@ class Trainer:
                 hp_metric = last_val.get("hp_metric")
                 self.ckpt.save(
                     self.global_step,
-                    jax.device_get(self.state),
+                    self._host_state(),
                     hp_metric=hp_metric,
                     config=self.config_snapshot,
                 )
@@ -497,6 +556,8 @@ class Trainer:
                 batch = jnp.asarray(batch)
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
+            for cb in getattr(self, "_batch_end_cbs", ()):
+                cb.on_train_batch_end(self)
             if self.preempted:
                 break
             samples += n_in_batch
@@ -550,9 +611,16 @@ class Trainer:
             # samples don't bias the epoch mean (the weighting below is then
             # exact). Costs one extra jit specialization per tail shape,
             # cached across epochs — the reference likewise runs the natural-
-            # size tail batch (torch DataLoader drop_last=False).
+            # size tail batch (torch DataLoader drop_last=False). Under
+            # jax.distributed the global batch cannot be sliced eagerly
+            # (shards span other processes), so the padded batch runs as-is:
+            # the n_valid weighting keeps the bias bounded to the tail batch.
             nv = int(n_valid)
-            if isinstance(batch, dict) and nv < jax.tree_util.tree_leaves(batch)[0].shape[0]:
+            if (
+                isinstance(batch, dict)
+                and jax.process_count() == 1
+                and nv < jax.tree_util.tree_leaves(batch)[0].shape[0]
+            ):
                 batch = {k: v[:nv] for k, v in batch.items()}
             metrics = eval_step(params, batch)
             if extra_gan_losses and self.is_gan:

@@ -88,6 +88,53 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
     assert np.isfinite(loss), loss
     print(f"MP-TRAIN-LOSS p{process_id} {loss:.6f}", flush=True)
 
+    # --- full Trainer.fit -> top-k checkpoint -> resume across the mesh -----
+    # (round-2 finding: the 2-process test stopped at a bare train step;
+    # checkpointing/validation/top-k/restore were unexercised multi-process.)
+    if len(sys.argv) > 5:
+        data_dir, out_dir = sys.argv[4], sys.argv[5]
+        from glob import glob
+
+        from climsr_tpu.cli.train import main as train_main
+
+        overrides = [
+            "experiment=srcnn_pre_training_debug",
+            f"datamodule.cfg.data_path={data_dir}",
+            "training.batch_size=8",
+            "training.validation_batch_size=8",
+            "training.num_workers=0",
+            "trainer.max_epochs=2",
+            "trainer.limit_train_batches=2",
+            "trainer.limit_val_batches=1",
+            "trainer.limit_test_batches=1",
+            "trainer.save_top_k=2",
+            "trainer.log_every_n_steps=1",
+            "trainer.zero_stage=2",  # grad reduce-scatter + sharded opt state
+            "trainer.device_augment=false",
+            "print_config=false",
+            f"training.output_dir={out_dir}",
+        ]
+        hp = train_main(list(overrides))
+        assert hp is not None and np.isfinite(hp), hp
+        ckpt_dirs = sorted(glob(f"{out_dir}/outputs/runs/srcnn/*/checkpoints"))
+        assert len(ckpt_dirs) == 1, ckpt_dirs
+        steps1 = sorted(int(p.split("/")[-1]) for p in glob(f"{ckpt_dirs[0]}/[0-9]*"))
+        assert steps1, "no checkpoint steps written"
+        print(f"MP-FIT-HP p{process_id} {hp:.6f}", flush=True)
+
+        hp2 = train_main(
+            list(overrides)
+            + [f"trainer.resume_from_checkpoint={ckpt_dirs[0]}", "trainer.max_epochs=3"]
+        )
+        assert hp2 is not None and np.isfinite(hp2), hp2
+        ckpt_dirs2 = sorted(glob(f"{out_dir}/outputs/runs/srcnn/*/checkpoints"))
+        steps2 = sorted(
+            int(p.split("/")[-1]) for d in ckpt_dirs2 for p in glob(f"{d}/[0-9]*")
+        )
+        # the resumed run continued past the first run's last step
+        assert steps2[-1] > steps1[-1], (steps1, steps2)
+        print(f"MP-RESUME-HP p{process_id} {hp2:.6f}", flush=True)
+
     print(f"MP-WORKER-OK p{process_id}", flush=True)
 
 

@@ -28,7 +28,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_data_mesh():
+def test_two_process_data_mesh(tmp_path):
+    from climsr_tpu.data.synthetic import make_synthetic_dataset
+
+    data_dir = make_synthetic_dataset(tmp_path / "ds", n_tiles_per_stage=(16, 8, 8))
+    out_dir = tmp_path / "out"
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -38,7 +42,7 @@ def test_two_process_data_mesh():
     env["PYTHONPATH"] = str(_WORKER.parents[1]) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(_WORKER), coordinator, "2", str(i)],
+            [sys.executable, str(_WORKER), coordinator, "2", str(i), str(data_dir), str(out_dir)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -49,19 +53,26 @@ def test_two_process_data_mesh():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
-    losses = []
+    losses, fit_hp, resume_hp = [], [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MP-WORKER-OK p{i}" in out, out
         for line in out.splitlines():
             if line.startswith("MP-TRAIN-LOSS"):
                 losses.append(float(line.split()[-1]))
+            elif line.startswith("MP-FIT-HP"):
+                fit_hp.append(float(line.split()[-1]))
+            elif line.startswith("MP-RESUME-HP"):
+                resume_hp.append(float(line.split()[-1]))
     # the jitted step reduced gradients across BOTH processes' shards -> the
     # loss (a global mean) is identical on every process
     assert len(losses) == 2 and losses[0] == losses[1]
+    # full fit (ZeRO-2, top-k checkpointing) and resume agree across processes
+    assert len(fit_hp) == 2 and fit_hp[0] == fit_hp[1]
+    assert len(resume_hp) == 2 and resume_hp[0] == resume_hp[1]

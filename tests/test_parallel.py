@@ -126,6 +126,91 @@ def test_dp_train_step_on_mesh(mesh, rng):
     np.testing.assert_allclose(float(metrics["train/loss"]), float(metrics_local["train/loss"]), rtol=1e-5)
 
 
+def test_zero23_shard_largest_divisible_dim(mesh):
+    from climsr_tpu.parallel.mesh import shard_largest_divisible_dim
+
+    tree = {
+        "conv_kernel": jnp.zeros((3, 3, 64, 48)),  # largest divisible dim = cin 64
+        "leading": jnp.zeros((512, 7)),
+        "none_divisible": jnp.zeros((3, 3, 7, 5)),
+        "small": jnp.zeros((8, 8)),
+    }
+    rules = shard_largest_divisible_dim(tree, mesh, min_size=1024)
+    assert rules["conv_kernel"].spec == P(None, None, "data", None)
+    assert rules["leading"].spec == P("data", None)
+    assert rules["none_divisible"].spec == P()
+    assert rules["small"].spec == P()
+
+
+@pytest.mark.e2e
+@pytest.mark.parametrize("stage", [2, 3])
+def test_zero_stage_step_matches_unsharded(mesh, rng, stage):
+    """ZeRO-2/3 train steps (gradient reduce-scatter; stage-3 persistent param
+    sharding + gather-on-use) are numerically identical to the plain DP step,
+    and stage 3 actually leaves the parameters sharded between steps.
+    Reference capability: conf/plugins/deepspeed_offload_stage_3.yaml."""
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.parallel.mesh import shard_largest_divisible_dim
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.pretrain import make_pretrain_step
+    from climsr_tpu.training.train_state import TrainState
+
+    model = create_generator("esrgan", nf=16, nb=1, gc=8, out_channels=1)
+    batch_np = {
+        "lr": rng.normal(size=(16, 8, 8, 3)).astype(np.float32),
+        "hr": rng.normal(size=(16, 32, 32, 1)).astype(np.float32),
+        "elevation": rng.normal(size=(16, 32, 32, 1)).astype(np.float32),
+        "mask": np.ones((16, 32, 32, 1), np.float32),
+    }
+    var = model.init(jax.random.PRNGKey(0), jnp.asarray(batch_np["lr"][:1]),
+                     jnp.asarray(batch_np["elevation"][:1]), jnp.asarray(batch_np["mask"][:1]))
+    tx = build_optimizer(OptimizerConfig(name="adam", lr=1e-3), lambda s: 1e-3)
+
+    # plain DP reference step
+    ref_state, ref_metrics = make_pretrain_step(
+        model, "esrgan", tx, compute_dtype=jnp.float32, donate=False
+    )(TrainState.create(var["params"], tx), {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    shardings = shard_largest_divisible_dim(var["params"], mesh, min_size=256)
+    state = TrainState.create(var["params"], tx)
+    state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+        if stage >= 3
+        else jax.device_put(state.params, replicated(mesh)),
+        opt_state=jax.tree_util.tree_map(
+            jax.device_put, state.opt_state,
+            shard_largest_divisible_dim(state.opt_state, mesh, min_size=256),
+        ),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )
+    batch = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch_np.items()}
+    step = make_pretrain_step(
+        model, "esrgan", tx, compute_dtype=jnp.float32, donate=False,
+        zero={"stage": stage, "shardings": shardings},
+    )
+    new_state, metrics = step(state, batch)
+
+    np.testing.assert_allclose(
+        float(metrics["train/loss"]), float(ref_metrics["train/loss"]), rtol=1e-6
+    )
+    got = jax.device_get(new_state.params)
+    want = jax.device_get(ref_state.params)
+    for g, w in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+    if stage >= 3:
+        # persistent parameter sharding survived the step
+        big_leaf_shardings = [
+            leaf.sharding.spec
+            for leaf, spec in zip(
+                jax.tree_util.tree_leaves(new_state.params),
+                jax.tree_util.tree_leaves(shardings),
+            )
+            if spec.spec != P()
+        ]
+        assert big_leaf_shardings and all(s != P() for s in big_leaf_shardings)
+
+
 def test_device_store_indexed_step(mesh, rng):
     """Device-resident store + index-batch step produces finite loss."""
     from climsr_tpu.config.schemas import OptimizerConfig
