@@ -28,6 +28,16 @@ stack incl. HR-scale head + fusion SRCNN); RTX 3090 fp32 ~35.6 TFLOP/s peak at
 a generous 35% conv utilization + batch-1 dispatch overhead gives
 ~15 Mpix-HR/s. vs_baseline is measured throughput over that estimate; the
 BASELINE.json north star (>=5x) corresponds to vs_baseline >= 5.
+Besides the headline inference JSON line (stdout), a second JSON line with the
+flagship *training-step* throughput (fused forward+backward+adam, bs=192, the
+reference's pre-training batch) is printed to stderr so the driver-captured
+tail records training perf each round too.
+
+Tile-geometry note: this benchmark runs 32x32-LR tiles — the training-tile
+geometry, where the Pallas trunk is eligible and engaged. The shipped tiled
+inference path uses 64px tiles (also Pallas-eligible; measured 70.1 Mpix-HR/s
+raw, 39.4 effective after overlap redundancy — see README "Tile-geometry
+honesty"); 128px+ frames fall back to the XLA trunk at a lower per-pixel rate.
 """
 from __future__ import annotations
 
@@ -37,6 +47,76 @@ import time
 
 BASELINE_MPIX_HR_S = 15.0
 FLOPS_PER_LR_PIXEL = 11.55e6  # ESRGAN nb=11 gc=16 analytic conv FLOPs
+# reference training-step anchor: 3x forward FLOPs (6.8 TFLOP/step at bs=192)
+# on the RTX-3090 fp16 training path at the same generous 35%-of-peak conv
+# utilization used for the inference anchor -> ~700 samples/s (BASELINE.md)
+BASELINE_TRAIN_SAMPLES_S = 700.0
+
+
+def bench_train_step() -> None:
+    """Flagship pretrain step: ESRGAN nb=11, bs=192, bf16, donated state."""
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.pretrain import make_pretrain_step
+    from climsr_tpu.training.train_state import TrainState
+
+    bs, lr_hw = 192, 32
+    model = create_generator("esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16)
+    r = jax.random.PRNGKey(0)
+    batch = {
+        "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),
+        "hr": jax.random.normal(r, (bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+        "elevation": jax.random.normal(r, (bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+        "mask": jnp.ones((bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+    }
+    params = model.init(r, batch["lr"][:1], batch["elevation"][:1], batch["mask"][:1])["params"]
+    tx = build_optimizer(OptimizerConfig(name="adam", lr=1e-4, weight_decay=1e-4), lambda s: 1e-4)
+    step = make_pretrain_step(model, "esrgan", tx, compute_dtype=jnp.bfloat16, donate=True)
+
+    # ONE state threaded through every timing run: the step donates its input
+    # state, so re-creating a state from the original (now-donated) param
+    # buffers would fault — and the data dependency between consecutive steps
+    # is exactly what makes the timing honest.
+    state = TrainState.create(params, tx)
+
+    def run(state, n):
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(n):
+            state, metrics = step(state, batch)
+        # host scalar pull = a real data-dependent completion barrier (the
+        # axon transport's optimistic async makes block_until_ready unreliable)
+        float(metrics["train/loss"])
+        return state, time.perf_counter() - t0
+
+    iters = 6
+    state, _ = run(state, 1)  # compile
+    samples = []
+    for _ in range(3):
+        state, t1 = run(state, 1)
+        state, tn = run(state, iters + 1)
+        samples.append((tn - t1) / iters)
+    dt = sorted(samples)[1]
+    sps = bs / dt
+    print(
+        f"# train bs={bs} dt={dt * 1e3:.1f} ms/step = {sps:.0f} samples/s/chip",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "esrgan_nb11_train_step_throughput",
+                "value": round(sps, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / BASELINE_TRAIN_SAMPLES_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def main() -> None:
@@ -113,4 +193,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    bench_train_step()
     main()

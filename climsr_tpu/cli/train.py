@@ -45,7 +45,21 @@ def print_config(cfg: Dict[str, Any]) -> None:
     print("-" * 60)
 
 
-def run(cfg: Dict[str, Any]) -> Optional[float]:
+class _TrialReportCallback:
+    """Feeds each validation's optimized metric to the sweep pruner; the
+    pruner's TrialPruned propagates out of fit() and ends the trial early."""
+
+    def __init__(self, report, metric: str):
+        self._report = report
+        self._metric = metric
+
+    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        value = val_metrics.get(self._metric, val_metrics.get("hp_metric"))
+        if value is not None:
+            self._report(epoch, float(value))
+
+
+def run(cfg: Dict[str, Any], report_cb=None) -> Optional[float]:
     if cfg.get("print_config", True):
         print_config(cfg)
 
@@ -97,6 +111,11 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         callback_names = [callback_names]  # callbacks=log_images (single select)
     elif isinstance(callback_names, dict):
         callback_names = list(callback_names)
+    callbacks = build_callbacks(callback_names)
+    if report_cb is not None:
+        callbacks.append(
+            _TrialReportCallback(report_cb, training_cfg.optimized_metric or "hp_metric")
+        )
     trainer = Trainer(
         datamodule=datamodule,
         generator_cfg=generator_cfg,
@@ -108,7 +127,7 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         schedulers=schedulers,
         workdir=run_dir,
         config_snapshot=cfg,
-        callbacks=build_callbacks(callback_names),
+        callbacks=callbacks,
         logger_cfg=cfg.get("logger"),
     )
 
@@ -164,10 +183,10 @@ def main(argv: Optional[List[str]] = None) -> Optional[float]:
         base = [o for o in overrides if not o.startswith("hparams_search")]
         base.append(f"training.optimized_metric={metric}")
 
-        def objective(trial_overrides: List[str]) -> Optional[float]:
+        def objective(trial_overrides: List[str], report) -> Optional[float]:
             trial_cfg = compose(default_config_dir(), "config", trial_overrides)
             trial_cfg["print_config"] = False
-            return run(trial_cfg)
+            return run(trial_cfg, report_cb=report)
 
         best, _ = run_search(
             base,

@@ -146,23 +146,83 @@ def inference_on_full_images(
 
     # Auto-tile big frames: whole-frame SR of the 360x720 CRU-TS grid would
     # allocate HR-sized 1-channel activations that XLA lane-pads 128x (63 MB
-    # -> 7.9 GB at batch 8, measured OOM); 128px overlap-tiles keep activations
-    # in MXU-friendly shapes and compile once.
+    # -> 7.9 GB at batch 8, measured OOM). Tile geometry measured on v5e
+    # (equal-pixel batches, bf16, nb=11): 32x32 tiles run at 133 Mpix-HR/s,
+    # 64x64 at 70.1 (Pallas trunk; 34.2 on the XLA trunk), 128x128 at 31.3
+    # (Pallas-ineligible, see models/esrgan.py pallas_trunk_eligible) — the
+    # per-pixel rate degrades with tile area as HR-scale activations outgrow
+    # VMEM. 64px tiles with 8px overlap give the best *effective* rate at the
+    # same (tile/stride)^2 = 1.78 overlap redundancy as the old 128/16
+    # default: 39.4 vs 17.6 effective Mpix-HR/s, 2.2x.
     lr_pixels = frames.shape[1] * frames.shape[2]
     if tile_size is None and lr_pixels > 160 * 160:
-        tile_size = 128
-        logger.info("frame %dx%d: using overlap-tiled SR (tile=128, overlap=%d)",
+        tile_size = 64
+        tile_overlap = min(tile_overlap, 8)
+        logger.info("frame %dx%d: using overlap-tiled SR (tile=64, overlap=%d)",
                     frames.shape[1], frames.shape[2], tile_overlap)
 
     if tile_size and (frames.shape[1] > tile_size or frames.shape[2] > tile_size):
         tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
                         batch_size=batch_size * 8)
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
-        sr_frames = np.stack([tiler(frames[i]) for i in range(n)])
-    else:
-        sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
-
+        return _pipelined_tiled_sweep(
+            tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,
+            scaling_factor,
+        )
+    sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
     return _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written)
+
+
+def _pipelined_tiled_sweep(
+    tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,
+    scaling_factor: int, max_in_flight: int = 4,
+) -> List[str]:
+    """Overlap the device sweep with host IO (round-2 finding: serial host
+    writes left the chip idle at 0.20 months/s).
+
+    The main thread only *dispatches* each frame's tiled SR (async, device
+    array returned immediately); a writer pool pulls the result to host
+    (blocking THAT thread on the device→host link, not the dispatch loop),
+    denormalizes, ocean-masks and writes the GeoTIFF. ``max_in_flight``
+    bounds device-resident output buffers (~8 MB f16 per global frame).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    h, w = frames.shape[1], frames.shape[2]
+    profile = None
+
+    def write_one(i, dev_out):
+        nonlocal profile
+        arr = np.asarray(dev_out)[: h * scaling_factor, : w * scaling_factor]
+        filename, vmin, vmax = metas[i]
+        arr = scaler.denormalize(arr, vmin, vmax)
+        arr = np.where(mask_np, arr, np.nan).astype(np.float32)
+        if profile is None:
+            profile = GeoProfile(
+                width=arr.shape[1], height=arr.shape[0],
+                origin_x=mask_profile.origin_x, origin_y=mask_profile.origin_y,
+                pixel_size_x=mask_profile.pixel_size_x, pixel_size_y=mask_profile.pixel_size_y,
+                nodata=np.nan,
+            )
+        out_path = os.path.join(out_dir, filename)
+        write_geotiff(out_path, arr, profile)
+        return out_path
+
+    paths: List[Optional[str]] = [None] * len(metas)
+    pending: "deque" = deque()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for i in range(frames.shape[0]):
+            dev_out = tiler.device_call(frames[i])
+            pending.append((i, pool.submit(write_one, i, dev_out)))
+            if len(pending) >= max_in_flight:
+                j, fut = pending.popleft()
+                paths[j] = fut.result()
+        while pending:
+            j, fut = pending.popleft()
+            paths[j] = fut.result()
+    written.extend(paths)
+    return written
 
 
 def _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written) -> List[str]:

@@ -137,15 +137,11 @@ class TiledSR:
 
         return jax.jit(run)
 
-    def __call__(self, frame: np.ndarray, extras: Optional[Tuple[np.ndarray, ...]] = None) -> np.ndarray:
-        """SR one (H, W, C) frame -> (H*scale, W*scale, 1) numpy array.
-
-        ``extras``: optional HR-space conditioning rasters (elevation, mask) at
-        (H*scale, W*scale, 1), passed to generator_fn as additional arguments.
-        Frame-invariant extras should be uploaded once via :meth:`set_extras`;
-        passing them here transfers them again on every call.
-        """
-        orig_hw = frame.shape[:2]
+    def device_call(self, frame: np.ndarray, extras: Optional[Tuple[np.ndarray, ...]] = None) -> jax.Array:
+        """Dispatch SR of one frame and return the (H*scale, W*scale) DEVICE
+        array without blocking — the building block of the pipelined e2e path
+        (inference/run.py): the caller reads it back (``np.asarray``) on a
+        writer thread while the device already runs the next frame."""
         if frame.shape[0] < self.tile or frame.shape[1] < self.tile:
             frame, _ = pad_to_multiple(frame, self.tile)
         h, w = frame.shape[:2]
@@ -156,9 +152,19 @@ class TiledSR:
         key = (h, w, frame.shape[-1] if frame.ndim == 3 else 1, len(ex_dev))
         if key not in self._compiled:
             self._compiled[key] = self._build(h, w, len(ex_dev))
-        out = self._compiled[key](jnp.asarray(frame, self.compute_dtype), *ex_dev)
-        out = np.asarray(out)[: orig_hw[0] * self.scale, : orig_hw[1] * self.scale, None]
-        return out
+        return self._compiled[key](jnp.asarray(frame, self.compute_dtype), *ex_dev)
+
+    def __call__(self, frame: np.ndarray, extras: Optional[Tuple[np.ndarray, ...]] = None) -> np.ndarray:
+        """SR one (H, W, C) frame -> (H*scale, W*scale, 1) numpy array.
+
+        ``extras``: optional HR-space conditioning rasters (elevation, mask) at
+        (H*scale, W*scale, 1), passed to generator_fn as additional arguments.
+        Frame-invariant extras should be uploaded once via :meth:`set_extras`;
+        passing them here transfers them again on every call.
+        """
+        orig_hw = frame.shape[:2]
+        out = self.device_call(frame, extras)
+        return np.asarray(out)[: orig_hw[0] * self.scale, : orig_hw[1] * self.scale, None]
 
 
 def whole_frame_sr(

@@ -459,11 +459,21 @@ class Trainer:
             with jprof.trace(str(self.workdir / self.trainer_cfg.profiler_dir)):
                 return self._fit_impl()
         if self.trainer_cfg.profiler in ("simple", "advanced", "pytorch"):
-            # per-stage wall-time table, the SimpleProfiler analogue;
-            # "advanced"/"pytorch" map here too (their torch-specific detail
-            # has no TPU meaning — use profiler=jax for a device trace)
+            # "simple": per-stage wall-time table (PL SimpleProfiler).
+            # "advanced"/"pytorch" (PL AdvancedProfiler / PyTorchProfiler):
+            # the stage table PLUS a per-op device-time table derived from an
+            # xplane trace captured around the fit (utils/profiling.py) —
+            # real hardware times, the TPU-native equivalent of their
+            # per-function/per-op breakdowns.
+            advanced = self.trainer_cfg.profiler in ("advanced", "pytorch")
+            trace_dir = self.workdir / self.trainer_cfg.profiler_dir
             self._stage_times: Dict[str, float] = {}
             try:
+                if advanced:
+                    import jax.profiler as jprof
+
+                    with jprof.trace(str(trace_dir)):
+                        return self._fit_impl()
                 return self._fit_impl()
             finally:
                 total = sum(self._stage_times.values()) or 1.0
@@ -473,6 +483,19 @@ class Trainer:
                 ]
                 logger.info("Profiler report (wall time by stage):\n%s", "\n".join(lines))
                 self._stage_times = None
+                if advanced:
+                    from climsr_tpu.utils.profiling import advanced_profile_report
+
+                    report = advanced_profile_report(trace_dir)
+                    if report:
+                        logger.info("Profiler report (device time by op):\n%s", report)
+                        (self.workdir / "profile_ops.txt").write_text(report)
+                    else:
+                        logger.warning(
+                            "No parsable xplane trace under %s — only the stage table "
+                            "is available (per-op parsing needs the tensorflow xplane "
+                            "protos)", trace_dir,
+                        )
         return self._fit_impl()
 
     def _staged(self, name: str, fn, *args):
@@ -645,7 +668,11 @@ class Trainer:
         for cb in self.callbacks:
             try:
                 cb.on_validation_end(self, epoch, out)
-            except Exception:
+            except Exception as e:
+                # the sweep pruner ends a trial by raising through its report
+                # callback — that one must propagate, not be logged away
+                if type(e).__name__ == "TrialPruned":
+                    raise
                 logger.exception("Callback %s failed", type(cb).__name__)
         return out
 

@@ -76,6 +76,72 @@ def test_run_search_tolerates_failures(tmp_path):
     assert best is not None and best.params["x"] == 1
 
 
+def test_run_search_median_pruning(tmp_path):
+    """Trials reporting worse-than-median intermediates are cut short with
+    state PRUNED and their last report as value (reference capability:
+    Optuna's pruner in conf/hparams_search/*)."""
+    cfg = {
+        "n_trials": 8,
+        "search_space": {"x": {"type": "categorical", "choices": [0, 1]}},
+        "sampler": {"name": "random", "seed": 3},
+        "pruner": {"name": "median", "n_startup_trials": 2, "n_warmup_steps": 0},
+    }
+    reports_seen = {}
+
+    def objective(overrides, report):
+        x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
+        n = 0
+        # x=1 converges to 0.1; x=0 is always 10x worse -> gets pruned once
+        # two peer trials exist at the same report index
+        for step in range(5):
+            n += 1
+            report(step, (1.0 if x else 10.0) / (step + 1))
+        reports_seen.setdefault(x, []).append(n)
+        return (1.0 if x else 10.0) / 5
+
+    best, trials = run_search([], cfg, objective, output_dir=str(tmp_path))
+    states = [t.state for t in trials]
+    assert "PRUNED" in states
+    pruned = [t for t in trials if t.state == "PRUNED"]
+    assert all(t.params["x"] == 0 for t in pruned)
+    assert all(t.value == t.intermediate[-1] for t in pruned)
+    assert best is not None and best.params["x"] == 1
+    # the pruned objectives genuinely stopped early: no x=0 run past report 1
+    # once enough peers existed (reports_seen only records *completed* runs)
+    assert all(n == 5 for n in reports_seen.get(1, []))
+
+
+def test_run_search_resume_continues_numbering(tmp_path):
+    cfg = {
+        "n_trials": 4,
+        "search_space": {"x": {"type": "categorical", "choices": [1, 2, 3]}},
+        "sampler": {"name": "random", "seed": 5},
+    }
+
+    def objective(overrides):
+        x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
+        return float((x - 2) ** 2)
+
+    _, first = run_search([], cfg, objective, output_dir=str(tmp_path))
+    assert len(first) == 4
+
+    calls = []
+
+    def objective2(overrides):
+        calls.append(overrides)
+        return objective(overrides)
+
+    cfg2 = dict(cfg, n_trials=7)
+    best, all_trials = run_search([], cfg2, objective2, output_dir=str(tmp_path))
+    # only the 3 new trials ran; prior 4 were reloaded with params intact
+    assert len(calls) == 3
+    assert [t.number for t in all_trials] == list(range(7))
+    assert all(isinstance(t.params["x"], int) for t in all_trials)
+    # best considers reloaded AND new trials
+    assert best is not None
+    assert best.value == min(t.value for t in all_trials if t.value is not None)
+
+
 def test_make_grid_and_colorize():
     from climsr_tpu.training.callbacks import make_grid
 
@@ -212,3 +278,103 @@ def test_callback_registry_includes_pruning_and_gpu_stats_alias():
     assert isinstance(cbs[0], ModelPruningCallback) and not cbs[0].use_lottery_ticket_hypothesis
     assert isinstance(cbs[1], ModelPruningCallback) and cbs[1].use_lottery_ticket_hypothesis
     assert isinstance(cbs[2], DeviceStatsMonitor)
+
+
+def _fake_module(name, **attrs):
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+class _Recorder:
+    def __init__(self):
+        self.calls = []
+
+    def __getattr__(self, name):
+        def record(*args, **kwargs):
+            self.calls.append((name, args, kwargs))
+            return self
+
+        return record
+
+    def __getitem__(self, key):  # neptune run["metric"] style
+        self.calls.append(("__getitem__", (key,), {}))
+        return self
+
+
+@pytest.mark.parametrize("name", ["wandb", "mlflow", "neptune", "comet"])
+def test_third_party_logger_adapters_call_signatures(tmp_path, name, monkeypatch):
+    """Pin the adapter call signatures of utils/logging.py against fake
+    modules (round-2 finding: every branch was import-gated and untestable
+    in-env, so a signature typo would ship silently)."""
+    import sys
+
+    from climsr_tpu.utils.logging import MetricLogger
+
+    rec = _Recorder()
+    if name == "wandb":
+        monkeypatch.setitem(sys.modules, "wandb", _fake_module("wandb", init=lambda **kw: rec))
+    elif name == "mlflow":
+        mod = _fake_module(
+            "mlflow",
+            set_experiment=lambda n: rec.calls.append(("set_experiment", (n,), {})),
+            start_run=lambda: rec.calls.append(("start_run", (), {})),
+            log_metrics=lambda m, step: rec.calls.append(("log_metrics", (m,), {"step": step})),
+            end_run=lambda: rec.calls.append(("end_run", (), {})),
+        )
+        monkeypatch.setitem(sys.modules, "mlflow", mod)
+    elif name == "neptune":
+        monkeypatch.setitem(sys.modules, "neptune", _fake_module("neptune", init_run=lambda **kw: rec))
+    elif name == "comet":
+        monkeypatch.setitem(sys.modules, "comet_ml", _fake_module("comet_ml", Experiment=lambda **kw: rec))
+
+    ml = MetricLogger.from_config(tmp_path / name, {"name": name, "project": "p"})
+    assert ml._third_party, f"{name} adapter did not attach"
+    ml.log_metrics({"train/loss": 0.5, "val/rmse": 1.25}, step=3)
+    ml.close()
+
+    called = [c[0] for c in rec.calls]
+    if name == "wandb":
+        assert "log" in called and "finish" in called
+        log_call = next(c for c in rec.calls if c[0] == "log")
+        assert log_call[1][0] == {"train/loss": 0.5, "val/rmse": 1.25} and log_call[2] == {"step": 3}
+    elif name == "mlflow":
+        assert "set_experiment" in called and "start_run" in called and "end_run" in called
+        log_call = next(c for c in rec.calls if c[0] == "log_metrics")
+        # mlflow forbids '/' in metric keys -> adapter rewrites to '.'
+        assert log_call[1][0] == {"train.loss": 0.5, "val.rmse": 1.25} and log_call[2] == {"step": 3}
+    elif name == "neptune":
+        assert ("__getitem__", ("train/loss",), {}) in rec.calls
+        append_calls = [c for c in rec.calls if c[0] == "append"]
+        assert append_calls and all(c[2] == {"step": 3} for c in append_calls)
+    elif name == "comet":
+        log_call = next(c for c in rec.calls if c[0] == "log_metrics")
+        assert log_call[1][0] == {"train/loss": 0.5, "val/rmse": 1.25}
+
+
+def test_advanced_profiler_per_op_table(tmp_path):
+    """profiler=advanced derives a per-op device-time table from an xplane
+    trace (round-2 finding: advanced/pytorch silently degraded to the stage
+    table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.utils.profiling import advanced_profile_report
+
+    f = jax.jit(lambda x: jnp.tanh(x @ x) + 1.0)
+    x = jnp.ones((256, 256), jnp.float32)
+    with jax.profiler.trace(str(tmp_path)):
+        for _ in range(3):
+            x = f(x)
+        jax.block_until_ready(x)
+
+    report = advanced_profile_report(tmp_path)
+    if report is None:
+        pytest.skip("no xplane proto support in this environment")
+    assert "TOTAL (device)" in report
+    assert "ms" in report and "%" in report
+    # at least one real op row with a count
+    assert any(line.strip() and "op" not in line and "TOTAL" not in line for line in report.splitlines()[1:])
