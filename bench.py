@@ -11,7 +11,8 @@ Methodology
   esrgan.yaml: nf=64, nb=11, gc=16) runs 4x SR on batches of 32x32-LR /
   128x128-output CRU-TS-style tiles in bfloat16 — the training-tile geometry
   the models are built around (production whole-globe inference tiles the LR
-  frame at 128px with overlap; the per-pixel FLOP count is identical).
+  frame at 64px with overlap; the per-pixel FLOP count is identical but the
+  per-pixel rate is geometry-dependent — see the tile-geometry note below).
 - Timing: N forward passes are chained *inside one jit* with a real
   loop-carried data dependency (next input mixes in the downsampled output),
   so neither XLA loop-invariant hoisting nor the experimental axon transport's
@@ -65,7 +66,9 @@ def bench_train_step() -> None:
     from climsr_tpu.training.train_state import TrainState
 
     bs, lr_hw = 192, 32
-    model = create_generator("esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16)
+    model = create_generator(
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
+    )  # training resolves the Pallas trunk OFF (custom_vjp remat penalty)
     r = jax.random.PRNGKey(0)
     batch = {
         "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),
@@ -192,6 +195,26 @@ def main() -> None:
     )
 
 
+def _bench_train_guarded(budget_s: int = 900) -> None:
+    """Train bench with a hard time budget: the XLA-trunk bs=192 backward can
+    compile for tens of minutes on the remote TPU compiler; the headline
+    inference metric must still print if that happens."""
+    import signal
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(f"train-step bench exceeded {budget_s}s (compile)")
+
+    prev = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(budget_s)
+    try:
+        bench_train_step()
+    except Exception as e:
+        print(f"# train-step bench skipped: {e}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 if __name__ == "__main__":
-    bench_train_step()
+    _bench_train_guarded()
     main()

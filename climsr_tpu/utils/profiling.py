@@ -72,10 +72,26 @@ def aggregate_device_ops(profile_dir) -> Optional[Dict[str, Tuple[float, int]]]:
     return totals or None
 
 
+_ASYNC_PREFIXES = ("%copy-start", "%copy-done", "%all-reduce-start", "%all-gather-start",
+                   "%collective-permute-start", "%send", "%recv")
+
+
+def _is_async_span(op: str) -> bool:
+    return op.startswith(_ASYNC_PREFIXES)
+
+
 def format_op_table(totals: Dict[str, Tuple[float, int]], top: int = 40) -> str:
-    """AdvancedProfiler-style table: ops ranked by total device time."""
-    grand = sum(t for t, _ in totals.values()) or 1.0
-    rows = sorted(totals.items(), key=lambda kv: -kv[1][0])[:top]
+    """AdvancedProfiler-style table: ops ranked by total device time.
+
+    Async DMA/collective spans (copy-start etc.) OVERLAP compute — their
+    durations measure transfer latency, not occupied core time — so they are
+    aggregated into one summary row instead of polluting the compute ranking.
+    """
+    compute = {k: v for k, v in totals.items() if not _is_async_span(k)}
+    async_secs = sum(t for k, (t, _) in totals.items() if _is_async_span(k))
+    async_cnt = sum(c for k, (_, c) in totals.items() if _is_async_span(k))
+    grand = sum(t for t, _ in compute.values()) or 1.0
+    rows = sorted(compute.items(), key=lambda kv: -kv[1][0])[:top]
     width = max((len(n) for n, _ in rows), default=10)
     width = min(width, 72)
     lines = [f"  {'op':<{width}}  {'total':>10}  {'count':>7}  {'mean':>9}  {'%':>5}"]
@@ -84,7 +100,12 @@ def format_op_table(totals: Dict[str, Tuple[float, int]], top: int = 40) -> str:
         lines.append(
             f"  {shown:<{width}}  {secs * 1e3:8.2f}ms  {cnt:7d}  {secs / max(cnt, 1) * 1e6:7.1f}us  {secs / grand * 100:4.1f}"
         )
-    lines.append(f"  {'TOTAL (device)':<{width}}  {grand * 1e3:8.2f}ms")
+    lines.append(f"  {'TOTAL (compute events)':<{width}}  {grand * 1e3:8.2f}ms")
+    if async_cnt:
+        lines.append(
+            f"  {'async DMA/collective spans (overlap compute)':<{width}}  "
+            f"{async_secs * 1e3:8.2f}ms  {async_cnt:7d}"
+        )
     return "\n".join(lines)
 
 

@@ -28,7 +28,9 @@ from climsr_tpu.utils.profiling import advanced_profile_report
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="train_profile_")
     bs, lr_hw = 192, 32
-    model = create_generator("esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16)
+    model = create_generator(
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
+    )  # training resolves the Pallas trunk OFF (custom_vjp remat penalty)
     r = jax.random.PRNGKey(0)
     batch = {
         "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),
