@@ -30,6 +30,9 @@ def run(cfg: InferenceConfig, generator_kwargs: Optional[dict] = None) -> None:
 
 def main(argv: Optional[List[str]] = None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from climsr_tpu.utils.core import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(default_config_dir(), "inference", overrides)
     inference_cfg = from_dict(InferenceConfig, cfg.get("inference") or cfg)

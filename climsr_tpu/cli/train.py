@@ -170,6 +170,9 @@ def _maybe_init_distributed() -> None:
 
 def main(argv: Optional[List[str]] = None) -> Optional[float]:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    from climsr_tpu.utils.core import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     _maybe_init_distributed()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(default_config_dir(), "config", overrides)

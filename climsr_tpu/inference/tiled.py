@@ -91,12 +91,21 @@ class TiledSR:
         self._extras_dev: Optional[Tuple[jax.Array, ...]] = None
         self._compiled = {}
 
-    def _tile_origins(self, size: int):
-        """Start offsets covering [0, size) with the last tile snapped back."""
-        origins = list(range(0, max(size - self.tile, 0) + 1, self.stride))
-        if origins[-1] + self.tile < size:
-            origins.append(size - self.tile)
-        return origins
+    def _regular_grid(self, size: int):
+        """(padded_size, origins) for a UNIFORM stride grid covering ``size``.
+
+        Instead of snapping the last tile back (which makes the grid
+        irregular), the frame is reflect-padded device-side so origins are an
+        exact arithmetic sequence — the uniform grid is what lets the blend
+        run as 4 dense parity-group adds instead of one update-slice per tile
+        (120 tiles/global frame at the 64/8 default: measured compile- and
+        runtime-dominant).
+        """
+        if size <= self.tile:
+            return self.tile, [0]
+        n_steps = -(-(size - self.tile) // self.stride)  # ceil
+        padded = self.tile + n_steps * self.stride
+        return padded, list(range(0, padded - self.tile + 1, self.stride))
 
     def set_extras(self, extras: Optional[Tuple[np.ndarray, ...]]) -> None:
         """Upload frame-invariant HR conditioning rasters (elevation, mask) once."""
@@ -106,14 +115,60 @@ class TiledSR:
 
     def _build(self, h: int, w: int, n_extras: int):
         """One jit per frame shape: slice tiles -> generator -> feather-blend."""
-        ys, xs = self._tile_origins(h), self._tile_origins(w)
+        hp, ys = self._regular_grid(h)
+        wp, xs = self._regular_grid(w)
         origins = [(y, x) for y in ys for x in xs]
         t, s, bs = self.tile, self.scale, self.batch_size
         ht = t * s
+        st = self.stride * s
         n = len(origins)
+        n_y, n_x = len(ys), len(xs)
         w_const = jnp.asarray(self._weights)  # (ht, ht) f32
+        # parity-group blend needs adjacent-only overlap (tile <= 2*stride)
+        grouped = t <= 2 * self.stride and n > 4
+
+        def blend_grouped(tiles_w: jax.Array) -> jax.Array:
+            """(n, ht, ht) weighted tiles -> (hp*s, wp*s) accumulated canvas.
+
+            Tiles overlap only their immediate neighbors, so the even/odd
+            parity groups along each axis are internally non-overlapping:
+            zero-pad each tile to the group pitch G=2*stride, lay each group
+            out as ONE reshape/transpose, and add the four shifted canvases —
+            4 dense adds total, vs one update-slice per tile.
+            """
+            G = 2 * st
+            tiles_g = jnp.pad(tiles_w, ((0, 0), (0, G - ht), (0, G - ht)))
+            tiles_g = tiles_g.reshape(n_y, n_x, G, G)
+            out = jnp.zeros((hp * s + 2 * G, wp * s + 2 * G), jnp.float32)
+            for py in (0, 1):
+                for px in (0, 1):
+                    sub = tiles_g[py::2, px::2]
+                    ny_p, nx_p = sub.shape[:2]
+                    if ny_p == 0 or nx_p == 0:
+                        continue
+                    canvas = sub.transpose(0, 2, 1, 3).reshape(ny_p * G, nx_p * G)
+                    out = out.at[
+                        py * st : py * st + ny_p * G, px * st : px * st + nx_p * G
+                    ].add(canvas)
+            return out[: hp * s, : wp * s]
+
+        def blend_loop(tiles_w: jax.Array) -> jax.Array:
+            out = jnp.zeros((hp * s, wp * s), jnp.float32)
+            for i, (y, x) in enumerate(origins):
+                out = out.at[y * s : y * s + ht, x * s : x * s + ht].add(tiles_w[i])
+            return out
+
+        blend = blend_grouped if grouped else blend_loop
 
         def run(frame: jax.Array, *extras: jax.Array) -> jax.Array:
+            if (hp, wp) != (h, w):  # uniform-grid reflect padding, on device
+                frame = jnp.pad(frame, ((0, hp - h), (0, wp - w)) + ((0, 0),) * (frame.ndim - 2),
+                                mode="reflect")
+                extras = tuple(
+                    jnp.pad(ex, ((0, (hp - h) * s), (0, (wp - w) * s)) + ((0, 0),) * (ex.ndim - 2),
+                            mode="reflect")
+                    for ex in extras
+                )
             tiles = jnp.stack([frame[y : y + t, x : x + t] for y, x in origins])
             ex_tiles = [
                 jnp.stack([ex[y * s : (y + t) * s, x * s : (x + t) * s] for y, x in origins])
@@ -128,12 +183,10 @@ class TiledSR:
                 sr = jax.lax.map(lambda args: self._gen(*args), tuple(chunked))
                 sr = sr.reshape((-1,) + sr.shape[2:])[:n]
             sr = sr[..., 0].astype(jnp.float32) * w_const  # (n, ht, ht)
-            out = jnp.zeros((h * s, w * s), jnp.float32)
-            norm = jnp.zeros((h * s, w * s), jnp.float32)  # constant-folded by XLA
-            for i, (y, x) in enumerate(origins):
-                out = out.at[y * s : y * s + ht, x * s : x * s + ht].add(sr[i])
-                norm = norm.at[y * s : y * s + ht, x * s : x * s + ht].add(w_const)
-            return (out / jnp.maximum(norm, 1e-8)).astype(self.output_dtype)
+            out = blend(sr)
+            norm = blend(jnp.broadcast_to(w_const, (n, ht, ht)))  # constant-folded by XLA
+            out = out / jnp.maximum(norm, 1e-8)
+            return out[: h * s, : w * s].astype(self.output_dtype)
 
         return jax.jit(run)
 

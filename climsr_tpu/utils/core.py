@@ -75,3 +75,31 @@ def finish(loggers: Optional[Sequence[Any]] = None) -> None:
                 close()
             except Exception:  # teardown is best-effort
                 logger.exception("Failed to close logger %r", lg)
+
+
+def enable_persistent_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Turn on JAX's persistent XLA compilation cache for CLI runs.
+
+    The flagship jits are remote-compile-heavy on this TPU stack (train step
+    ~3 min, whole-frame tiled inference ~5 min, flagship GAN step ~10 min);
+    caching makes every run after the first start in seconds. No-op if the
+    user already configured a cache dir.
+    """
+    import os
+
+    import jax
+
+    try:
+        if jax.config.read("jax_compilation_cache_dir"):
+            return
+    except Exception:
+        pass
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "climsr_tpu", "xla_cache"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # cache is an optimization, never a hard requirement
+        logger.debug("could not enable the persistent compilation cache", exc_info=True)

@@ -301,3 +301,25 @@ def test_inspect_results_cli(cruts_fixture, tmp_path):
     frame = pd.read_csv(results_dir / "2_locations.csv")
     assert (frame["nn_mean"] == frame["cru_mean"]).all()
     assert (frame["nn_max"] == frame["cru_max"]).all()
+
+
+def test_tiled_grouped_blend_matches_loop_blend(rng):
+    """The 4-parity-group dense blend (compile/runtime fix for many-tile
+    frames) is numerically identical to the per-tile update-slice loop."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.inference.tiled import TiledSR
+
+    fn = _upsample_fn()
+    frame = rng.normal(size=(96, 144, 1)).astype(np.float32)
+    # tile=32 overlap=8 -> stride=16... wait t <= 2*stride means 32 <= 32: ok
+    grouped = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=512, compute_dtype=jnp.float32)
+    out_g = grouped(frame)
+    # force the loop path by monkeypatching the threshold: rebuild with a
+    # geometry where grouping disengages (overlap > tile/4 -> stride < tile/2)
+    loop = TiledSR(fn, scale=4, tile_size=32, overlap=12, batch_size=512, compute_dtype=jnp.float32)
+    out_l = loop(frame)
+    # both reconstruct the linear upsample exactly (weights normalize to 1)
+    want = np.asarray(fn(frame[None]))[0]
+    np.testing.assert_allclose(out_g, want, atol=1e-5)
+    np.testing.assert_allclose(out_l, want, atol=1e-5)
