@@ -216,5 +216,9 @@ def _bench_train_guarded(budget_s: int = 900) -> None:
 
 
 if __name__ == "__main__":
+    # the flagship jits are remote-compile-heavy; cache them across runs
+    from climsr_tpu.utils.core import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     _bench_train_guarded()
     main()

@@ -135,6 +135,36 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
         assert steps2[-1] > steps1[-1], (steps1, steps2)
         print(f"MP-RESUME-HP p{process_id} {hp2:.6f}", flush=True)
 
+        # GAN fit across the 2-process mesh: fused G+D step, BN batch_stats in
+        # the state, top-k checkpoint of a GANTrainState via process_allgather
+        # (tiny nets, no VGG graph — perceptual factor 0 skips building it)
+        hp3 = train_main([
+            "experiment=esrgan_fine_tune_no_gan_pre_training",
+            f"datamodule.cfg.data_path={data_dir}",
+            "datamodule.cfg.europe_extent=false",
+            "training.batch_size=8",
+            "training.validation_batch_size=8",
+            "training.num_workers=0",
+            "training.model_weights=null",
+            "generator={name: esrgan, nf: 8, nb: 1, gc: 4}",
+            "discriminator={name: esrgan, out_channels: 16}",
+            "task.cfg.perceptual_loss_factor=0.0",
+            "trainer.max_epochs=1",
+            "trainer.limit_train_batches=2",
+            "trainer.limit_val_batches=1",
+            "trainer.limit_test_batches=1",
+            "trainer.save_top_k=1",
+            "trainer.zero_stage=2",
+            "trainer.device_augment=false",
+            "trainer.log_every_n_steps=1",
+            "print_config=false",
+            f"training.output_dir={out_dir}/gan",
+        ])
+        assert hp3 is not None and np.isfinite(hp3), hp3
+        gan_ckpts = glob(f"{out_dir}/gan/outputs/runs/esrgan/*/checkpoints/[0-9]*")
+        assert gan_ckpts, "GAN checkpoint not written under jax.distributed"
+        print(f"MP-GAN-HP p{process_id} {hp3:.6f}", flush=True)
+
     print(f"MP-WORKER-OK p{process_id}", flush=True)
 
 

@@ -59,7 +59,7 @@ def test_two_process_data_mesh(tmp_path):
                 q.kill()
             raise
         outs.append(out)
-    losses, fit_hp, resume_hp = [], [], []
+    losses, fit_hp, resume_hp, gan_hp = [], [], [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MP-WORKER-OK p{i}" in out, out
@@ -70,9 +70,13 @@ def test_two_process_data_mesh(tmp_path):
                 fit_hp.append(float(line.split()[-1]))
             elif line.startswith("MP-RESUME-HP"):
                 resume_hp.append(float(line.split()[-1]))
+            elif line.startswith("MP-GAN-HP"):
+                gan_hp.append(float(line.split()[-1]))
     # the jitted step reduced gradients across BOTH processes' shards -> the
     # loss (a global mean) is identical on every process
     assert len(losses) == 2 and losses[0] == losses[1]
     # full fit (ZeRO-2, top-k checkpointing) and resume agree across processes
     assert len(fit_hp) == 2 and fit_hp[0] == fit_hp[1]
     assert len(resume_hp) == 2 and resume_hp[0] == resume_hp[1]
+    # GAN fit (fused G+D, BN batch_stats, GANTrainState checkpoint) agrees too
+    assert len(gan_hp) == 2 and gan_hp[0] == gan_hp[1]

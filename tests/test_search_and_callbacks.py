@@ -374,7 +374,7 @@ def test_advanced_profiler_per_op_table(tmp_path):
     report = advanced_profile_report(tmp_path)
     if report is None:
         pytest.skip("no xplane proto support in this environment")
-    assert "TOTAL (device)" in report
+    assert "TOTAL (compute events)" in report
     assert "ms" in report and "%" in report
     # at least one real op row with a count
     assert any(line.strip() and "op" not in line and "TOTAL" not in line for line in report.splitlines()[1:])

@@ -329,3 +329,72 @@ def test_twin_training_convergence_srcnn(rng):
     assert rmse_j[-1] < rmse_j[0] * 0.9
     # trajectories track: same dynamics, not just same endpoint
     np.testing.assert_allclose(rmse_j, rmse_t, rtol=0.02, atol=2e-3)
+
+
+@pytest.mark.e2e
+def test_twin_training_convergence_esrgan(rng):
+    """100 identical steps of a tiny ESRGAN (RRDB + fusion head) in torch vs
+    climsr_tpu: same init/data/Adam, L1 loss; val RMSE trajectories track."""
+    torch.manual_seed(14)
+    ref = ref_models.esrgan.ESRGANGenerator(
+        in_channels=3, out_channels=1, nf=8, nb=1, gc=4, scaling_factor=4
+    ).train()  # f32
+    sd0 = _sd_numpy(ref)
+
+    hr_size, bs, steps, ckpt_every = 32, 4, 100, 25
+    _, hr_tr = _synthetic_sr_data(rng, 64, hr_size)
+    _, hr_va = _synthetic_sr_data(rng, 16, hr_size)
+
+    def assemble(hr):
+        n = hr.shape[0]
+        lr0 = hr[:, ::4, ::4, 0]
+        lr = np.stack([lr0, np.zeros_like(lr0), np.ones_like(lr0)], axis=-1)
+        elev = np.zeros((n, hr_size, hr_size, 1), np.float32)
+        mask = np.ones((n, hr_size, hr_size, 1), np.float32)
+        return lr.astype(np.float32), elev, mask
+
+    lr_tr, elev_tr, mask_tr = assemble(hr_tr)
+    lr_va, elev_va, mask_va = assemble(hr_va)
+    order = np.stack([rng.permutation(64)[:bs] for _ in range(steps)])
+    lr = 1e-3
+
+    opt = _adam(ref.parameters(), lr=lr, wd=0.0)
+    rmse_t = []
+    for s in range(steps):
+        i = order[s]
+        sr = ref(_nchw(lr_tr[i]), _nchw(elev_tr[i]), _nchw(mask_tr[i]))
+        loss = torch.nn.functional.l1_loss(sr, _nchw(hr_tr[i]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if (s + 1) % ckpt_every == 0:
+            with torch.no_grad():
+                out = ref(_nchw(lr_va), _nchw(elev_va), _nchw(mask_va))
+                rmse_t.append(float(torch.sqrt(torch.mean((out - _nchw(hr_va)) ** 2))))
+
+    params = import_generator_params("esrgan", sd0)
+    model = create_generator("esrgan", out_channels=1, nf=8, nb=1, gc=4, dtype=jnp.float32)
+    tx = build_optimizer(OptimizerConfig(name="adam", lr=lr, weight_decay=0.0), schedule=lambda s: lr)
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, "esrgan", tx, compute_dtype=jnp.float32, donate=False)
+
+    @jax.jit
+    def val_rmse(p):
+        sr = model.apply({"params": p}, jnp.asarray(lr_va), jnp.asarray(elev_va), jnp.asarray(mask_va))
+        return jnp.sqrt(jnp.mean(jnp.square(sr - jnp.asarray(hr_va))))
+
+    rmse_j = []
+    for s in range(steps):
+        i = order[s]
+        batch = {
+            B_lr: jnp.asarray(lr_tr[i]), B_hr: jnp.asarray(hr_tr[i]),
+            B_elev: jnp.asarray(elev_tr[i]), B_mask: jnp.asarray(mask_tr[i]),
+        }
+        state, _ = step(state, batch)
+        if (s + 1) % ckpt_every == 0:
+            rmse_j.append(float(val_rmse(state.params)))
+
+    rmse_t, rmse_j = np.asarray(rmse_t), np.asarray(rmse_j)
+    assert rmse_t[-1] < rmse_t[0]
+    assert rmse_j[-1] < rmse_j[0]
+    np.testing.assert_allclose(rmse_j, rmse_t, rtol=0.03, atol=2e-3)
