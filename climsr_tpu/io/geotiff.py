@@ -307,14 +307,25 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
             return _packbits_decode(chunk)
         raise ValueError(f"{path}: unsupported TIFF compression {compression}")
 
-    if predictor == 3:
-        raise ValueError(f"{path}: floating-point predictor not supported")
-
-    def unpredict(chunk: np.ndarray) -> np.ndarray:
-        # TIFF predictor 2: horizontal differencing resets at the start of each
-        # row of each *chunk* (tile or strip), so it must be undone per decoded
-        # chunk before assembly — a whole-image cumsum is wrong for tiled files
-        # (every pixel right of the first tile column would keep the deltas).
+    def assemble(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        # Predictors reset at the start of each row of each *chunk* (tile or
+        # strip), so they must be undone per decoded chunk before assembly — a
+        # whole-image cumsum is wrong for tiled files (every pixel right of the
+        # first tile column would keep the deltas). Both predictors here are
+        # row-wise, so operating on a (rows, ...) view per chunk is exact.
+        if predictor == 3:
+            # TIFF TechNote 3 floating-point predictor (GDAL emits this for
+            # float32 DEFLATE GeoTIFFs): per row, the sample bytes are split
+            # into byte planes ordered most-significant first, then
+            # byte-differenced horizontally. Undo: modular byte cumsum across
+            # the row, then re-interleave planes as big-endian samples.
+            s = dtype.itemsize
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(rows, s * cols)
+            b = np.cumsum(b, axis=1, dtype=np.uint8)  # wraps mod 256 = byte undiff
+            planes = b.reshape(rows, s, cols).transpose(0, 2, 1)  # (rows, cols, s) MSB-first
+            be = np.dtype(dtype.newbyteorder(">"))
+            return np.ascontiguousarray(planes).reshape(rows, s * cols).view(be).astype(dtype)
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(rows, cols)
         if predictor == 2:
             return np.cumsum(chunk.astype(np.int64), axis=1).astype(dtype)
         return chunk
@@ -327,7 +338,7 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
         tiles_across = (w + tw - 1) // tw
         arr = np.zeros((h, w), dtype=dtype)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = unpredict(np.frombuffer(decode(buf[off : off + cnt]), dtype=dtype).reshape(th, tw))
+            tile = assemble(decode(buf[off : off + cnt]), th, tw)
             ty, tx = divmod(idx, tiles_across)
             y0, x0 = ty * th, tx * tw
             arr[y0 : min(y0 + th, h), x0 : min(x0 + tw, w)] = tile[: min(th, h - y0), : min(tw, w - x0)]
@@ -335,9 +346,9 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
         raw = b"".join(decode(buf[o : o + c]) for o, c in zip(offsets, counts))
-        # Strips always hold whole rows, so per-row cumsum over the assembled
-        # array is the per-chunk un-differencing.
-        arr = unpredict(np.frombuffer(raw, dtype=dtype).reshape(h, w))
+        # Strips always hold whole rows, so per-row undiff over the assembled
+        # bytes is the per-chunk un-differencing.
+        arr = assemble(raw, h, w)
 
     arr = arr.astype(arr.dtype.newbyteorder("="))
 

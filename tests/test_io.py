@@ -173,6 +173,101 @@ def _write_tiff_i16_pred2(fp, arr: np.ndarray, tile: int = 0) -> None:
         f.write(ifd)
 
 
+def _pred3_encode_rows(chunk: np.ndarray) -> bytes:
+    """TIFF TechNote 3 float predictor encode (the inverse of the decoder):
+    per row, big-endian sample bytes split into MSB-first byte planes, then
+    horizontal byte differencing. This is what GDAL writes for float32
+    PREDICTOR=3 DEFLATE GeoTIFFs."""
+    rows, cols = chunk.shape
+    be = np.ascontiguousarray(chunk.astype(">f4")).view(np.uint8).reshape(rows, cols, 4)
+    planes = be.transpose(0, 2, 1).reshape(rows, 4 * cols).astype(np.int16)
+    diff = np.concatenate([planes[:, :1], np.diff(planes, axis=1)], axis=1)
+    return (diff & 0xFF).astype(np.uint8).tobytes()
+
+
+def _write_tiff_f32_pred3(fp, arr: np.ndarray, tile: int = 0, rows_per_strip: int = 4) -> None:
+    """Minimal little-endian TIFF: float32, DEFLATE, predictor=3."""
+    import zlib as _zlib
+
+    h, w = arr.shape
+    entries = []
+    chunks = []
+    if tile:
+        th = tw = tile
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw), np.float32)
+                sub = arr[ty : ty + th, tx : tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(_zlib.compress(_pred3_encode_rows(block)))
+    else:
+        chunks = [
+            _zlib.compress(_pred3_encode_rows(arr[y : y + rows_per_strip]))
+            for y in range(0, h, rows_per_strip)
+        ]
+
+    n = len(chunks)
+    data_off = 8
+    offsets = []
+    for c in chunks:
+        offsets.append(data_off)
+        data_off += len(c)
+    extra = b""
+    off_array_pos = data_off
+    if n > 1:
+        extra += b"".join(_struct.pack("<I", o) for o in offsets)
+        extra += b"".join(_struct.pack("<I", len(c)) for c in chunks)
+        ifd_off = off_array_pos + 8 * n
+    else:
+        ifd_off = data_off
+
+    def tag(tid, typ, count, value):
+        entries.append(_struct.pack("<HHI", tid, typ, count) + _struct.pack("<I", value))
+
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, 32)
+    tag(259, 3, 1, 8)  # deflate
+    tag(277, 3, 1, 1)
+    if tile:
+        tag(322, 4, 1, tile)
+        tag(323, 4, 1, tile)
+        tag(324, 4, n, offsets[0] if n == 1 else off_array_pos)
+        tag(325, 4, n, len(chunks[0]) if n == 1 else off_array_pos + 4 * n)
+    else:
+        tag(278, 4, 1, rows_per_strip)
+        tag(273, 4, n, offsets[0] if n == 1 else off_array_pos)
+        tag(279, 4, n, len(chunks[0]) if n == 1 else off_array_pos + 4 * n)
+    tag(317, 3, 1, 3)  # predictor = floating point
+    tag(339, 3, 1, 3)  # sample format = IEEE float
+    entries.sort(key=lambda e: _struct.unpack("<H", e[:2])[0])
+
+    ifd = _struct.pack("<H", len(entries)) + b"".join(entries) + _struct.pack("<I", 0)
+    with open(fp, "wb") as f:
+        f.write(b"II" + _struct.pack("<HI", 42, ifd_off))
+        for c in chunks:
+            f.write(c)
+        f.write(extra)
+        f.write(ifd)
+
+
+def test_geotiff_predictor3_strips(tmp_path, rng):
+    arr = (rng.standard_normal((33, 48)) * 40).astype(np.float32)
+    arr[0, :3] = [np.nan, np.inf, -0.0]  # exact byte-level roundtrip incl. specials
+    fp = tmp_path / "p3_strips.tif"
+    _write_tiff_f32_pred3(fp, arr, tile=0, rows_per_strip=4)
+    back, _ = read_geotiff(fp)
+    np.testing.assert_array_equal(back.view(np.uint32), arr.view(np.uint32))
+
+
+def test_geotiff_predictor3_tiled(tmp_path, rng):
+    arr = (rng.standard_normal((40, 56)) * 40).astype(np.float32)
+    fp = tmp_path / "p3_tiled.tif"
+    _write_tiff_f32_pred3(fp, arr, tile=16)
+    back, _ = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)
+
+
 def test_geotiff_predictor2_strips(tmp_path, rng):
     arr = rng.integers(-3000, 6000, size=(32, 48)).astype(np.int16)
     fp = tmp_path / "p2_strips.tif"
