@@ -242,6 +242,11 @@ class TaskConfig:
     # features[:35] == conv5_4. Shallower cuts (e.g. conv2_2) give a cheap
     # variant for CI and ablations.
     perceptual_cutoff: str = "conv5_4"
+    # Evaluate the VGG perceptual graph only every k-th step (1 = every step,
+    # the reference behavior). Under the reference's no-grad quirk the term is
+    # metrics-only, so k>1 changes nothing but the logged value on skipped
+    # steps — it just buys GAN step throughput.
+    perceptual_interval: int = 1
 
 
 @dataclass

@@ -312,6 +312,7 @@ class Trainer:
                 perceptual_weight=task_cfg.perceptual_loss_factor,
                 adversarial_weight=task_cfg.adversarial_loss_factor,
                 perceptual_fn=self.perceptual_fn,
+                perceptual_interval=getattr(task_cfg, "perceptual_interval", 1),
                 compute_dtype=self.compute_dtype,
                 augment=self._augment_kwargs,
                 augment_seed=training_cfg.seed,

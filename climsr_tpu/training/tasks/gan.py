@@ -43,6 +43,7 @@ def make_gan_step(
     perceptual_weight: float = 1.0,
     adversarial_weight: float = 0.005,
     perceptual_fn: Optional[Callable] = None,
+    perceptual_interval: int = 1,
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
     in_shardings: Any = None,
@@ -121,7 +122,25 @@ def make_gan_step(
             score_fake, d_bs = apply_d(d_params_full, d_bs, sr)
             adversarial = relativistic_g_loss(score_real, score_fake)
             pixel = jnp.mean(jnp.abs(sr - hr))
-            perceptual = perceptual_fn(sr, hr) if perceptual_fn is not None else jnp.float32(0.0)
+            if perceptual_fn is None:
+                perceptual = jnp.float32(0.0)
+            elif perceptual_interval > 1:
+                # Throughput knob (task cfg ``perceptual_interval``, default 1 =
+                # reference behavior): evaluate the VGG graph only every k-th
+                # step. Under the reference's no-grad quirk the perceptual term
+                # is metrics-only, so training dynamics are bit-identical and
+                # only the logged value is 0.0 on skipped steps. With
+                # ``differentiable_perceptual=true`` the perceptual gradient
+                # lands on computed steps only (1/k of the reference's average
+                # pull — raise perceptual_loss_factor to compensate if needed).
+                perceptual = jax.lax.cond(
+                    state.step % perceptual_interval == 0,
+                    lambda _: perceptual_fn(sr, hr).astype(jnp.float32),
+                    lambda _: jnp.float32(0.0),
+                    None,
+                )
+            else:
+                perceptual = perceptual_fn(sr, hr)
             loss_g = pixel_weight * pixel + perceptual_weight * perceptual + adversarial_weight * adversarial
             aux = {
                 "sr": sr,

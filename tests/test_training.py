@@ -137,6 +137,51 @@ def test_gan_step_updates_both_and_tracks_bn(rng):
     assert not np.allclose(old_bn, jax.tree_util.tree_leaves(state.d_batch_stats)[0])
 
 
+def test_gan_perceptual_interval_dynamics_and_logging(rng):
+    """task.perceptual_interval>1 must not change training dynamics under the
+    default no-grad perceptual quirk — only the logged value (0.0 on skipped
+    steps). Twin runs from identical state, interval=1 vs 3."""
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.tasks.gan import make_gan_step
+
+    g = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    d = create_discriminator("rfb_esrgan", in_channels=1)
+    batch = _tiny_batch(rng, hr_size=64, lr_size=16)
+    g_var = g.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    d_var = d.init(jax.random.PRNGKey(1), batch["hr"], train=False)
+    cfg = OptimizerConfig(name="adam", lr=1e-4, weight_decay=0.0)
+    g_tx = build_optimizer(cfg, lambda s: 1e-4)
+    d_tx = build_optimizer(cfg, lambda s: 1e-4)
+
+    # no-grad quirk analogue: stop_gradient inside the perceptual fn
+    def perceptual_fn(sr, hr):
+        return jnp.mean((jax.lax.stop_gradient(sr) - hr) ** 2)
+
+    def run(interval):
+        state = GANTrainState.create(
+            g_var["params"], g_tx, d_var["params"], d_tx, d_var.get("batch_stats")
+        )
+        step = make_gan_step(
+            g, d, "esrgan", g_tx, d_tx,
+            perceptual_fn=perceptual_fn, perceptual_interval=interval,
+            compute_dtype=jnp.float32, donate=False,
+        )
+        logged = []
+        for _ in range(3):
+            state, metrics = step(state, batch)
+            logged.append(float(metrics["train/perceptual_loss"]))
+        return state, logged
+
+    s1, log1 = run(1)
+    s3, log3 = run(3)
+    # dynamics bit-identical: the perceptual term carries no gradient
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params), jax.tree_util.tree_leaves(s3.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # interval=1 logs every step; interval=3 logs step 0 (0 % 3 == 0) then 0.0
+    assert all(v > 0.0 for v in log1)
+    assert log3[0] == pytest.approx(log1[0]) and log3[1] == 0.0 and log3[2] == 0.0
+
+
 def test_eval_step_metric_keys(rng):
     from climsr_tpu.models import create_generator
     from climsr_tpu.training.tasks.pretrain import make_eval_step
