@@ -173,6 +173,13 @@ class TrainerConfig:
     # 1 = optimizer-state sharding; 2 = + gradient reduce-scatter;
     # 3 = + parameter sharding with all-gather-on-use.
     zero_stage: Optional[int] = None
+    # Spatial-shard (context-parallel) training: H-shard each frame over a
+    # trailing 'spatial' mesh axis of this size with a differentiable halo
+    # exchange (parallel/halo.py). For europe-extent frames too large per
+    # chip; pretrain tasks only (the GAN discriminator consumes whole
+    # frames). 0/1 = off.
+    spatial_shard_size: int = 0
+    spatial_shard_halo: int = 8  # LR rows of context exchanged per neighbor
     remat: bool = False  # rematerialize heavy blocks to save HBM
     # augmentation + LR synthesis inside the jitted train step (ops/augment.py);
     # host then only ships raw normalized tiles

@@ -18,6 +18,15 @@ Two levels are provided:
   and crops. Exact when ``halo`` covers the receptive field; in practice a
   32-64 row halo makes seams numerically negligible for the RRDB models
   (residual weights 0.2 decay long-range contributions geometrically).
+- :func:`spatial_sharded_model_forward` — the *training*-grade variant: a
+  differentiable H-sharded generator forward (params are a traced input, so
+  ``jax.grad`` flows through the ``ppermute`` halo exchange — its transpose
+  is the reverse ppermute over ICI, and the replicated-params input
+  transposes to the cross-device gradient psum). This is the conv-net
+  analogue of sequence/context parallelism applied to *training* on frames
+  too large for one chip's step budget (the reference's europe-extent
+  452x452 fine-tune, SURVEY.md §5.7 — which it can only train unsharded on
+  a single GPU).
 """
 from __future__ import annotations
 
@@ -142,3 +151,75 @@ def spatial_sharded_apply_multi(
         in_specs=tuple(P(None, axis_name, None, None) for _ in range(n_in)),
         out_specs=P(None, axis_name, None, None),
     )
+
+
+def spatial_sharded_model_forward(
+    model,
+    generator_type: str,
+    mesh: Mesh,
+    axis: str = "spatial",
+    halo: int = 8,
+    scale: int = 4,
+    batch_axis: str | None = None,
+):
+    """Differentiable H-sharded generator forward for spatial-shard training.
+
+    Returns ``fwd(params, lr, elevation=None, mask=None) -> sr`` over global
+    NHWC arrays. Each device holds an H-slice of the frame (plus the batch
+    slice when ``batch_axis`` is set), pads it with ``halo`` rows from its
+    mesh neighbors (reflect at the frame edges — matching the unsharded
+    model's implicit zero/SAME geometry only approximately there, exactly in
+    the interior), applies the generator locally, and crops back. Heights
+    that don't divide the axis size are reflect-padded up front and the
+    output is cropped to the true ``H * out_scale`` — so the europe-extent
+    113-row LR frames work on any mesh.
+
+    Exact (fwd AND grad) when ``halo`` covers the generator's receptive
+    field; for the deep RRDB trunks a partial halo is an approximation whose
+    error decays geometrically with depth (residual scale 0.2). Because
+    ``params`` is a traced, replicated input of the ``shard_map``, autodiff
+    yields the true gradient of the sharded forward: the halo ``ppermute``
+    transposes to the reverse ppermute and the replicated input transposes
+    to a cross-device psum — XLA schedules both over ICI.
+
+    Constraint: the local shard must keep more rows than the halo
+    (``H // axis_size > halo`` at every input scale); asserted at trace time.
+    """
+    from climsr_tpu.models import FUSION_GENERATORS, PRE_UPSCALED_GENERATORS
+
+    n = mesh.shape[axis]
+    fusion = generator_type in FUSION_GENERATORS
+    out_scale = 1 if generator_type in PRE_UPSCALED_GENERATORS else scale
+    in_scales = (1, scale, scale) if fusion else (1,)
+    pspec = P(batch_axis, axis, None, None)
+
+    def fwd(params, lr, elevation=None, mask=None):
+        h = lr.shape[1]
+        pad = (-h) % n
+        if pad:
+            lr = jnp.pad(lr, ((0, 0), (0, pad), (0, 0), (0, 0)), mode="reflect")
+            if fusion:
+                hpad = ((0, 0), (0, pad * scale), (0, 0), (0, 0))
+                elevation = jnp.pad(elevation, hpad, mode="reflect")
+                mask = jnp.pad(mask, hpad, mode="reflect")
+        assert lr.shape[1] // n > halo, (
+            f"spatial shard too thin: {lr.shape[1]} rows / {n} shards leaves "
+            f"{lr.shape[1] // n} <= halo={halo}; lower spatial_halo or the axis size"
+        )
+        inputs = (lr, elevation, mask) if fusion else (lr,)
+
+        def local(p, *xs):
+            padded = [_halo_pad_reflect(x, halo * s, axis) for x, s in zip(xs, in_scales)]
+            out = model.apply({"params": p}, *padded)
+            return out[:, halo * out_scale : out.shape[1] - halo * out_scale]
+
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        out = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(param_specs,) + tuple(pspec for _ in inputs),
+            out_specs=pspec,
+        )(params, *inputs)
+        return out[:, : h * out_scale]
+
+    return fwd

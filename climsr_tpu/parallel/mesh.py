@@ -20,7 +20,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(num_devices: Optional[int] = None, axes: Tuple[str, ...] = ("data",)) -> Mesh:
+def create_mesh(
+    num_devices: Optional[int] = None,
+    axes: Tuple[str, ...] = ("data",),
+    last_axis_size: Optional[int] = None,
+) -> Mesh:
+    """Build the device mesh. ``last_axis_size`` pins the trailing axis
+    (e.g. the 'spatial' axis for spatial-shard training); the leading axis
+    gets the remainder. Without it a 2-axis mesh defaults the trailing axis
+    to 2 when divisible."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
@@ -28,10 +36,15 @@ def create_mesh(num_devices: Optional[int] = None, axes: Tuple[str, ...] = ("dat
     if len(axes) == 1:
         shape: Sequence[int] = (n,)
     elif len(axes) == 2:
-        # favor the data axis; model/spatial axis gets the remainder
-        import math
+        if last_axis_size is not None:
+            if n % last_axis_size:
+                raise ValueError(f"{n} devices not divisible by {axes[1]}={last_axis_size}")
+            spatial = last_axis_size
+        else:
+            # favor the data axis; model/spatial axis gets the remainder
+            import math
 
-        spatial = math.gcd(n, 2) if n % 2 == 0 else 1
+            spatial = math.gcd(n, 2) if n % 2 == 0 else 1
         shape = (n // spatial, spatial)
     else:
         raise ValueError(f"Unsupported mesh axes: {axes}")

@@ -117,7 +117,18 @@ class Trainer:
             # process-global and stays in effect after the trainer exits
             # (jax.config has no scoped variant usable across our jits).
             jax.config.update("jax_default_matmul_precision", "highest")
-        self.mesh = create_mesh(trainer_cfg.num_devices, tuple(trainer_cfg.mesh_axes))
+        # Spatial-shard (context-parallel) training: append a trailing
+        # 'spatial' mesh axis; frames are H-sharded over it inside the train
+        # step with a differentiable halo exchange (parallel/halo.py). The
+        # batch stays sharded over 'data', so DP x spatial compose.
+        self.spatial_size = int(getattr(trainer_cfg, "spatial_shard_size", 0) or 0)
+        mesh_axes = tuple(trainer_cfg.mesh_axes)
+        if self.spatial_size > 1:
+            if len(mesh_axes) == 1:
+                mesh_axes = (mesh_axes[0], "spatial")
+            self.mesh = create_mesh(trainer_cfg.num_devices, mesh_axes, last_axis_size=self.spatial_size)
+        else:
+            self.mesh = create_mesh(trainer_cfg.num_devices, mesh_axes)
         self.batch_sharding = batch_sharding(self.mesh)
 
         # ---- data loaders -------------------------------------------------
@@ -294,6 +305,13 @@ class Trainer:
         self.state = self._place_state(state)
 
         # ---- compiled steps ------------------------------------------------
+        if self.is_gan and self.spatial_size > 1:
+            raise ValueError(
+                "spatial_shard_size applies to pixel-loss (pre-training/fine-tune) "
+                "tasks only: the GAN discriminator and VGG perceptual graph consume "
+                "whole frames. Use task=generator_pre_training with spatial sharding, "
+                "or DP for GAN fine-tuning."
+            )
         if self.is_gan:
             # perceptual_loss_factor == 0 skips building the VGG19 graph entirely
             # (16 convs at HR size — pure overhead when its weight is zero).
@@ -328,10 +346,19 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
             )
         else:
+            spatial_cfg = None
+            if self.spatial_size > 1:
+                spatial_cfg = {
+                    "mesh": self.mesh,
+                    "axis": "spatial",
+                    "halo": int(getattr(trainer_cfg, "spatial_shard_halo", 8)),
+                    "scale": cfg.scale_factor,
+                    "batch_axis": "data" if self.mesh.shape["data"] > 1 else None,
+                }
             self.train_step = make_pretrain_step(
                 self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype,
                 augment=self._augment_kwargs, augment_seed=training_cfg.seed,
-                store=self.train_store, zero=self._zero_cfg or None,
+                store=self.train_store, zero=self._zero_cfg or None, spatial=spatial_cfg,
             )
 
         zmean = zstd = 0.0

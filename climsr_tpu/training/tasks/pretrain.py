@@ -60,6 +60,7 @@ def make_pretrain_step(
     augment_seed: int = 0,
     store: Optional[Dict] = None,
     zero: Optional[Dict] = None,
+    spatial: Optional[Dict] = None,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict[str, jax.Array]]]:
     """``augment``: when set (dict of augment_and_assemble kwargs), the batch
     carries raw {hr, elevation, mask} tiles and flips/rot90 + LR synthesis run
@@ -79,10 +80,24 @@ def make_pretrain_step(
     gathers them on use (an all-gather XLA schedules with the first
     consumers), and the with_sharding_constraint VJP delivers the gradients
     pre-sharded. Optimizer-state sharding (stage 1) is the caller's
-    ``device_put`` of ``state.opt_state`` — orthogonal to this hook."""
+    ``device_put`` of ``state.opt_state`` — orthogonal to this hook.
+
+    ``spatial``: spatial-shard training (kwargs of
+    ``parallel.halo.spatial_sharded_model_forward`` — mesh/axis/halo/scale/
+    batch_axis): the generator forward runs H-sharded over the mesh with a
+    differentiable halo exchange, the conv-net analogue of context
+    parallelism for frames too large per chip (europe-extent 452x452
+    fine-tuning). The backward retraces the ppermute over ICI; the loss and
+    optimizer update below are unchanged (the sharded ``sr`` flows through
+    GSPMD)."""
     loss_fn = pixel_loss_fn(generator_type)
     zero_stage = (zero or {}).get("stage", 0)
     zero_shardings = (zero or {}).get("shardings")
+    spatial_fwd = None
+    if spatial is not None:
+        from climsr_tpu.parallel.halo import spatial_sharded_model_forward
+
+        spatial_fwd = spatial_sharded_model_forward(model, generator_type, **spatial)
     # loss/grad accumulation dtype: f32 for bf16/f32 compute, f64 under x64
     # (keeps the f64 gradient-golden parity tests exact)
     acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
@@ -110,7 +125,15 @@ def make_pretrain_step(
                 params = jax.lax.with_sharding_constraint(
                     params, jax.tree_util.tree_map(lambda _: repl, params)
                 )
-            sr = _forward(model, generator_type, params, batch, compute_dtype)
+            if spatial_fwd is not None:
+                sr = spatial_fwd(
+                    params,
+                    batch[B.lr].astype(compute_dtype),
+                    batch[B.elevation].astype(compute_dtype) if B.elevation in batch else None,
+                    batch[B.mask].astype(compute_dtype) if B.mask in batch else None,
+                )
+            else:
+                sr = _forward(model, generator_type, params, batch, compute_dtype)
             return loss_fn(sr.astype(acc_dtype), batch[B.hr].astype(acc_dtype))
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
