@@ -142,6 +142,39 @@ def test_spatial_pretrain_step(mesh, rng):
     assert last < l1, (last, l1)
 
 
+@pytest.mark.e2e
+def test_cli_spatial_fit_europe_extent(tmp_path):
+    """The flagship use case end-to-end: europe-extent 452x452 frames (113-row
+    LR, non-divisible by the 4-way spatial axis) trained through the real CLI
+    with plugins=spatial_shard on the DP(2) x spatial(4) mesh."""
+    import glob
+
+    from climsr_tpu.cli.train import main
+    from climsr_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(tmp_path / "ds", n_tiles_per_stage=(4, 2, 2), europe_extent=True)
+    out = tmp_path / "out"
+    hp = main([
+        "experiment=esrgan_pre_training",
+        f"datamodule.cfg.data_path={ds}",
+        "datamodule.cfg.europe_extent=true",
+        "plugins=spatial_shard",
+        "generator={name: esrgan, nf: 8, nb: 1, gc: 4}",
+        "training.batch_size=2",
+        "training.validation_batch_size=2",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=2",
+        "trainer.limit_val_batches=1",
+        "trainer.limit_test_batches=1",
+        "trainer.log_every_n_steps=1",
+        "print_config=false",
+        f"training.output_dir={out}",
+    ])
+    assert hp is not None and np.isfinite(hp)
+    rows = open(glob.glob(f"{out}/outputs/runs/esrgan/*")[0] + "/metrics.csv").read()
+    assert "train/loss" in rows and "val/rmse" in rows
+
+
 def test_trainer_rejects_gan_spatial():
     from climsr_tpu.training.loop import Trainer  # noqa: F401 — import check only
 
