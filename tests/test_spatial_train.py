@@ -142,6 +142,53 @@ def test_spatial_pretrain_step(mesh, rng):
     assert last < l1, (last, l1)
 
 
+def test_spatial_composes_with_zero3(mesh, rng):
+    """ZeRO-3 persistent parameter sharding over 'data' + spatial H-sharding
+    over 'spatial' in one step: the gather-on-use constraint feeds the
+    shard_map's replicated params input, gradients land back sharded."""
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.parallel.mesh import shard_largest_divisible_dim
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.pretrain import make_pretrain_step
+    from climsr_tpu.training.train_state import TrainState
+
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, use_pallas=False, dtype=jnp.float32)
+    batch_np = {
+        "lr": rng.normal(size=(4, 32, 16, 3)).astype(np.float32),
+        "hr": rng.normal(size=(4, 128, 64, 1)).astype(np.float32),
+        "elevation": rng.normal(size=(4, 128, 64, 1)).astype(np.float32),
+        "mask": np.ones((4, 128, 64, 1), np.float32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch_np["lr"][:1]),
+        jnp.asarray(batch_np["elevation"][:1]),
+        jnp.asarray(batch_np["mask"][:1]),
+    )
+    tx = build_optimizer(OptimizerConfig(name="adamw", lr=1e-4), lambda s: 1e-4)
+    state = TrainState.create(variables["params"], tx)
+    shardings = shard_largest_divisible_dim(state.params, mesh, min_size=256)
+    state = state.replace(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.tree_util.tree_map(jax.device_put, state.params, shardings),
+        opt_state=jax.tree_util.tree_map(
+            jax.device_put, state.opt_state,
+            shard_largest_divisible_dim(state.opt_state, mesh, min_size=256),
+        ),
+    )
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch_np.items()}
+    step = make_pretrain_step(
+        model, "esrgan", tx, compute_dtype=jnp.float32, donate=False,
+        zero={"stage": 3, "shardings": shardings},
+        spatial={"mesh": mesh, "axis": "spatial", "halo": 6, "scale": 4, "batch_axis": "data"},
+    )
+    s, m = step(state, batch)
+    assert np.isfinite(float(m["train/loss"]))
+    assert int(jax.device_get(s.step)) == 1
+
+
 @pytest.mark.e2e
 def test_cli_spatial_fit_europe_extent(tmp_path):
     """The flagship use case end-to-end: europe-extent 452x452 frames (113-row
