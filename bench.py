@@ -196,23 +196,26 @@ def main() -> None:
 
 
 def _bench_train_guarded(budget_s: int = 900) -> None:
-    """Train bench with a hard time budget: the XLA-trunk bs=192 backward can
-    compile for tens of minutes on the remote TPU compiler; the headline
-    inference metric must still print if that happens."""
-    import signal
+    """Train bench in a subprocess with a hard time budget.
 
-    def on_alarm(signum, frame):
-        raise TimeoutError(f"train-step bench exceeded {budget_s}s (compile)")
+    The XLA-trunk bs=192 backward can compile for tens of minutes on the
+    remote TPU compiler, and a blocking compile call can't be interrupted by
+    an in-process signal handler (CPython defers handlers until the C++ call
+    returns). A subprocess CAN be killed, so the headline inference metric is
+    guaranteed to print even if the train-step compile wedges. Runs before
+    the parent touches the TPU, so there is never device contention."""
+    import subprocess
 
-    prev = signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(budget_s)
     try:
-        bench_train_step()
+        proc = subprocess.run(
+            [sys.executable, __file__, "--train-only"], timeout=budget_s, check=False
+        )
+        if proc.returncode != 0:
+            print(f"# train-step bench skipped: exit code {proc.returncode}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# train-step bench skipped: exceeded {budget_s}s (compile)", file=sys.stderr)
     except Exception as e:
         print(f"# train-step bench skipped: {e}", file=sys.stderr)
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, prev)
 
 
 if __name__ == "__main__":
@@ -220,5 +223,8 @@ if __name__ == "__main__":
     from climsr_tpu.utils.core import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    _bench_train_guarded()
-    main()
+    if "--train-only" in sys.argv:
+        bench_train_step()
+    else:
+        _bench_train_guarded()
+        main()

@@ -196,7 +196,10 @@ def _pipelined_tiled_sweep(
 
     def write_one(i, dev_out):
         nonlocal profile
-        arr = np.asarray(dev_out)[: h * scaling_factor, : w * scaling_factor]
+        # promote the f16 device readback to f32 BEFORE denormalizing —
+        # float16 arithmetic would add ~0.03-at-magnitude-40 quantization on
+        # top of the readback rounding
+        arr = np.asarray(dev_out)[: h * scaling_factor, : w * scaling_factor].astype(np.float32)
         filename, vmin, vmax = metas[i]
         arr = scaler.denormalize(arr, vmin, vmax)
         arr = np.where(mask_np, arr, np.nan).astype(np.float32)

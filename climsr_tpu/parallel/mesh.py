@@ -111,6 +111,37 @@ def shard_largest_divisible_dim(pytree, mesh: Mesh, axis: str = "data", min_size
     return jax.tree_util.tree_map(rule, pytree)
 
 
+def zero_gather_on_use(params, shardings):
+    """ZeRO-3 gather-on-use with a shard-preserving VJP.
+
+    Forward: constrain ``params`` to replicated so XLA all-gathers each leaf
+    where it is first consumed (instead of partitioning the convs over weight
+    shards). Backward: a plain ``with_sharding_constraint``'s transpose would
+    pin the parameter *cotangent* to replicated too, forcing GSPMD to
+    materialize a fully-replicated (all-reduced) gradient before re-slicing —
+    exactly the memory/traffic ZeRO-3 exists to avoid. The custom VJP below
+    annotates the cotangent with the SHARDED specs instead, so the
+    data-parallel gradient sum can lower to a reduce-scatter and each device
+    only ever owns its gradient shard.
+    """
+    mesh = jax.tree_util.tree_leaves(shardings)[0].mesh
+    repl = NamedSharding(mesh, P())
+    repl_tree = jax.tree_util.tree_map(lambda _: repl, params)
+
+    @jax.custom_vjp
+    def gather(p):
+        return jax.lax.with_sharding_constraint(p, repl_tree)
+
+    def gather_fwd(p):
+        return gather(p), None
+
+    def gather_bwd(_, ct):
+        return (jax.lax.with_sharding_constraint(ct, shardings),)
+
+    gather.defvjp(gather_fwd, gather_bwd)
+    return gather(params)
+
+
 def put_replicated(pytree, mesh: Mesh):
     return put_global(pytree, replicated(mesh))
 

@@ -280,7 +280,10 @@ class ModelPruningCallback:
                 out = [w if m is None else w * m for w, m in zip(leaves, mk)]
                 return jax.tree_util.tree_unflatten(tdef, out)
 
-            self._apply_masks = jax.jit(apply)
+            # donate the params: unmasked leaves alias straight through and
+            # masked ones update in place — the per-step re-application then
+            # costs one fused multiply over masked kernels, no tree copy
+            self._apply_masks = jax.jit(apply, donate_argnums=(0,))
         total = sum(int(np.asarray(m).size) for m in masks if m is not None)
         zeros = sum(int((~m).sum()) for m in masks if m is not None)
         logger.info(

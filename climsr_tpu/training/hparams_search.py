@@ -188,9 +188,12 @@ def run_search(
         trials = _load_trials(csv_path, sign)
         logger.info("Resuming sweep: %d prior trials from %s", len(trials), csv_path)
 
+    # Optuna semantics: only COMPLETE trials compete for best — a PRUNED
+    # trial's value is an early-epoch intermediate, not comparable to peers'
+    # final values.
     best: Optional[Trial] = None
     for t in trials:
-        if t.value is not None and (best is None or t.value < best.value):
+        if t.state == "COMPLETE" and t.value is not None and (best is None or t.value < best.value):
             best = t
 
     for i in range(len(trials), n_trials):
@@ -216,7 +219,7 @@ def run_search(
             logger.exception("Trial %d failed", i)
             trial.state = "FAILED"
             trial.value = None
-        if trial.value is not None and (best is None or trial.value < best.value):
+        if trial.state == "COMPLETE" and trial.value is not None and (best is None or trial.value < best.value):
             best = trial
             with open(out_dir / "best.yaml", "w") as f:
                 yaml.safe_dump({"value": sign * best.value, "params": best.params}, f)
@@ -269,16 +272,23 @@ def _load_trials(path: Path, sign: float) -> List[Trial]:
     import json
 
     out: List[Trial] = []
-    with open(path, newline="") as f:
-        for row in csv.DictReader(f):
-            value = sign * float(row["value"]) if row.get("value") else None
-            out.append(
-                Trial(
-                    number=int(row["number"]),
-                    params=json.loads(row["params_json"]),
-                    value=value,
-                    state=row.get("state", "COMPLETE"),
-                    intermediate=[sign * v for v in json.loads(row.get("intermediate_json") or "[]")],
+    try:
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                value = sign * float(row["value"]) if row.get("value") else None
+                out.append(
+                    Trial(
+                        number=int(row["number"]),
+                        params=json.loads(row["params_json"]),
+                        value=value,
+                        state=row.get("state", "COMPLETE"),
+                        intermediate=[sign * v for v in json.loads(row.get("intermediate_json") or "[]")],
+                    )
                 )
-            )
+    except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+        # unreadable / legacy-format trials.csv: don't abort the sweep — the
+        # unreadable history can't seed the sampler anyway, so start fresh
+        # (the first _write_trials overwrites the file in the current format)
+        logger.warning("Could not parse %s for resume (%s); starting a fresh sweep", path, e)
+        return []
     return out

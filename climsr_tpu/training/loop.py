@@ -126,6 +126,12 @@ class Trainer:
         if self.spatial_size > 1:
             if len(mesh_axes) == 1:
                 mesh_axes = (mesh_axes[0], "spatial")
+            if mesh_axes[-1] != "spatial":
+                raise ValueError(
+                    f"trainer.spatial_shard_size={self.spatial_size} needs a trailing "
+                    f"'spatial' mesh axis, but trainer.mesh_axes={mesh_axes} — drop the "
+                    f"custom mesh_axes or end it with 'spatial'."
+                )
             self.mesh = create_mesh(trainer_cfg.num_devices, mesh_axes, last_axis_size=self.spatial_size)
         else:
             self.mesh = create_mesh(trainer_cfg.num_devices, mesh_axes)

@@ -64,13 +64,10 @@ def make_gan_step(
 
     def _gather(params, shardings):
         if zero_stage >= 3 and shardings is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            # shard-preserving VJP: grads come back sharded, not replicated
+            from climsr_tpu.parallel.mesh import zero_gather_on_use
 
-            mesh = jax.tree_util.tree_leaves(shardings)[0].mesh
-            repl = NamedSharding(mesh, PartitionSpec())
-            return jax.lax.with_sharding_constraint(
-                params, jax.tree_util.tree_map(lambda _: repl, params)
-            )
+            return zero_gather_on_use(params, shardings)
         return params
 
     def _shard_grads(grads, shardings):

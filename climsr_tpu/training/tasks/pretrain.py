@@ -114,17 +114,13 @@ def make_pretrain_step(
 
         def compute_loss(params):
             if zero_stage >= 3 and zero_shardings is not None:
-                # gather-on-use: the persistent params are sharded; this
-                # replication constraint makes XLA all-gather each leaf where
-                # it is first consumed instead of partitioning the convs over
-                # weight shards.
-                from jax.sharding import NamedSharding, PartitionSpec
+                # gather-on-use: the persistent params are sharded; XLA
+                # all-gathers each leaf where it is first consumed, and the
+                # helper's custom VJP keeps the parameter cotangent sharded
+                # (see parallel/mesh.py:zero_gather_on_use).
+                from climsr_tpu.parallel.mesh import zero_gather_on_use
 
-                mesh = jax.tree_util.tree_leaves(zero_shardings)[0].mesh
-                repl = NamedSharding(mesh, PartitionSpec())
-                params = jax.lax.with_sharding_constraint(
-                    params, jax.tree_util.tree_map(lambda _: repl, params)
-                )
+                params = zero_gather_on_use(params, zero_shardings)
             if spatial_fwd is not None:
                 sr = spatial_fwd(
                     params,

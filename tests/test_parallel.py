@@ -268,3 +268,39 @@ def test_spatial_sharded_multi_esrgan_interior_exact(mesh, rng):
     np.testing.assert_allclose(got[:, rf:-rf], want[:, rf:-rf], atol=1e-5)
     # edge rows: reflect-vs-zero padding difference stays bounded
     assert float(np.max(np.abs(got - want))) < 1.0
+
+
+def test_zero3_gather_keeps_gradients_sharded(mesh, rng):
+    """zero_gather_on_use's custom VJP: the parameter cotangent carries the
+    ZeRO shardings instead of the replicated annotation a plain
+    with_sharding_constraint transpose would pin (which forces an all-reduced
+    full gradient per device — the memory/traffic ZeRO-3 exists to avoid)."""
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.parallel.mesh import shard_largest_divisible_dim, zero_gather_on_use
+
+    model = create_generator("esrgan", nf=16, nb=1, gc=8, out_channels=1, use_pallas=False)
+    lr = jnp.asarray(rng.normal(size=(8, 8, 8, 3)), jnp.float32)
+    elev = jnp.asarray(rng.normal(size=(8, 32, 32, 1)), jnp.float32)
+    mask = jnp.ones((8, 32, 32, 1), jnp.float32)
+    hr = jnp.asarray(rng.normal(size=(8, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), lr[:1], elev[:1], mask[:1])["params"]
+    shardings = shard_largest_divisible_dim(params, mesh, min_size=256)
+    params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    bsh = batch_sharding(mesh)
+    lr, elev, mask, hr = (jax.device_put(x, bsh) for x in (lr, elev, mask, hr))
+
+    @jax.jit
+    def grads(p):
+        def loss(p):
+            sr = model.apply({"params": zero_gather_on_use(p, shardings)}, lr, elev, mask)
+            return jnp.mean(jnp.abs(sr - hr))
+
+        return jax.grad(loss)(p)
+
+    g = grads(params)
+    n_should = sum(1 for s in jax.tree_util.tree_leaves(shardings) if any(a is not None for a in s.spec))
+    n_sharded = sum(
+        1 for l in jax.tree_util.tree_leaves(g) if any(a is not None for a in l.sharding.spec)
+    )
+    assert n_should > 0
+    assert n_sharded == n_should, (n_sharded, n_should)

@@ -378,3 +378,46 @@ def test_advanced_profiler_per_op_table(tmp_path):
     assert "ms" in report and "%" in report
     # at least one real op row with a count
     assert any(line.strip() and "op" not in line and "TOTAL" not in line for line in report.splitlines()[1:])
+
+
+def test_run_search_legacy_trials_csv_starts_fresh(tmp_path, caplog):
+    """A trials.csv from an older/foreign format must not crash resume — the
+    sweep warns and starts fresh (first write converts the file)."""
+    (tmp_path / "trials.csv").write_text("number,value,x\n0,1.0,2\n")
+    cfg = {
+        "n_trials": 2,
+        "search_space": {"x": {"type": "categorical", "choices": [1, 2]}},
+        "sampler": {"name": "random", "seed": 0},
+    }
+
+    def objective(overrides):
+        return 1.0
+
+    best, trials = run_search([], cfg, objective, output_dir=str(tmp_path))
+    assert len(trials) == 2 and all(t.number in (0, 1) for t in trials)
+    assert best is not None
+
+
+def test_run_search_pruned_trial_never_best(tmp_path):
+    """Optuna semantics: a PRUNED trial's (early-epoch) value must not win
+    best.yaml even when it is numerically smaller than completed finals."""
+    cfg = {
+        "n_trials": 6,
+        "search_space": {"x": {"type": "categorical", "choices": [0, 1]}},
+        "sampler": {"name": "random", "seed": 3},
+        "pruner": {"name": "median", "n_startup_trials": 2, "n_warmup_steps": 0},
+    }
+
+    def objective(overrides, report):
+        x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
+        # x=0: stellar first report (0.01) then diverges -> pruned trials
+        # would carry value 0.01 if their early reports counted
+        # x=1: steady 1.0 -> completes
+        for step in range(4):
+            report(step, 0.01 if (x == 0 and step == 0) else (5.0 if x == 0 else 1.0))
+        return 5.0 if x == 0 else 1.0
+
+    best, trials = run_search([], cfg, objective, output_dir=str(tmp_path))
+    assert best is not None
+    assert best.state == "COMPLETE"
+    assert best.value == 1.0 and best.params["x"] == 1
