@@ -88,6 +88,39 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
     assert np.isfinite(loss), loss
     print(f"MP-TRAIN-LOSS p{process_id} {loss:.6f}", flush=True)
 
+    # --- spatial-shard step on a DP(2) x spatial(4) mesh over 2 processes ---
+    # (the data axis spans the process boundary, the halo ppermute rides the
+    # intra-process 'spatial' axis — the natural multi-host pod layout)
+    sp_mesh = create_mesh(None, ("data", "spatial"), last_axis_size=4)
+    sp_model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, use_pallas=False)
+    sp_bs = 4
+    sp_np = {
+        "lr": rng.normal(size=(sp_bs, 32, 16, 3)).astype(np.float32),
+        "hr": rng.normal(size=(sp_bs, 128, 64, 1)).astype(np.float32),
+        "elevation": rng.normal(size=(sp_bs, 128, 64, 1)).astype(np.float32),
+        "mask": np.ones((sp_bs, 128, 64, 1), np.float32),
+    }
+    sp_vars = sp_model.init(
+        jax.random.PRNGKey(1),
+        jnp.asarray(sp_np["lr"][:1]),
+        jnp.asarray(sp_np["elevation"][:1]),
+        jnp.asarray(sp_np["mask"][:1]),
+    )
+    sp_tx = build_optimizer(OptimizerConfig(name="adamw", lr=1e-3), lambda s: 1e-3)
+    sp_state = TrainState.create(sp_vars["params"], sp_tx)
+    sp_state = jax.tree_util.tree_map(lambda x: put_replicated(np.asarray(x), sp_mesh), sp_state)
+    sp_sl = process_local_slice(sp_bs)
+    sp_batch = put_global({k: v[sp_sl] for k, v in sp_np.items()}, batch_sharding(sp_mesh))
+    sp_step = make_pretrain_step(
+        sp_model, "esrgan", sp_tx, compute_dtype=jnp.float32, donate=False,
+        spatial={"mesh": sp_mesh, "axis": "spatial", "halo": 6, "scale": 4, "batch_axis": "data"},
+    )
+    sp_state2, sp_metrics = sp_step(sp_state, sp_batch)
+    jax.block_until_ready(sp_state2.params)
+    sp_loss = float(sp_metrics["train/loss"])
+    assert np.isfinite(sp_loss), sp_loss
+    print(f"MP-SPATIAL-LOSS p{process_id} {sp_loss:.6f}", flush=True)
+
     # --- full Trainer.fit -> top-k checkpoint -> resume across the mesh -----
     # (round-2 finding: the 2-process test stopped at a bare train step;
     # checkpointing/validation/top-k/restore were unexercised multi-process.)

@@ -59,13 +59,15 @@ def test_two_process_data_mesh(tmp_path):
                 q.kill()
             raise
         outs.append(out)
-    losses, fit_hp, resume_hp, gan_hp = [], [], [], []
+    losses, fit_hp, resume_hp, gan_hp, spatial = [], [], [], [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MP-WORKER-OK p{i}" in out, out
         for line in out.splitlines():
             if line.startswith("MP-TRAIN-LOSS"):
                 losses.append(float(line.split()[-1]))
+            elif line.startswith("MP-SPATIAL-LOSS"):
+                spatial.append(float(line.split()[-1]))
             elif line.startswith("MP-FIT-HP"):
                 fit_hp.append(float(line.split()[-1]))
             elif line.startswith("MP-RESUME-HP"):
@@ -75,6 +77,8 @@ def test_two_process_data_mesh(tmp_path):
     # the jitted step reduced gradients across BOTH processes' shards -> the
     # loss (a global mean) is identical on every process
     assert len(losses) == 2 and losses[0] == losses[1]
+    # the spatial-shard step (DP x spatial mesh, halo ppermute) agrees too
+    assert len(spatial) == 2 and spatial[0] == spatial[1]
     # full fit (ZeRO-2, top-k checkpointing) and resume agree across processes
     assert len(fit_hp) == 2 and fit_hp[0] == fit_hp[1]
     assert len(resume_hp) == 2 and resume_hp[0] == resume_hp[1]
