@@ -11,7 +11,7 @@ Methodology
   esrgan.yaml: nf=64, nb=11, gc=16) runs 4x SR on batches of 32x32-LR /
   128x128-output CRU-TS-style tiles in bfloat16 — the training-tile geometry
   the models are built around (production whole-globe inference tiles the LR
-  frame at 64px with overlap; the per-pixel FLOP count is identical but the
+  frame at 128px with overlap; the per-pixel FLOP count is identical but the
   per-pixel rate is geometry-dependent — see the tile-geometry note below).
 - Timing: N forward passes are chained *inside one jit* with a real
   loop-carried data dependency (next input mixes in the downsampled output),
@@ -36,9 +36,10 @@ tail records training perf each round too.
 
 Tile-geometry note: this benchmark runs 32x32-LR tiles — the training-tile
 geometry, where the Pallas trunk is eligible and engaged. The shipped tiled
-inference path uses 64px tiles (also Pallas-eligible; measured 70.1 Mpix-HR/s
-raw, 39.4 effective after overlap redundancy — see README "Tile-geometry
-honesty"); 128px+ frames fall back to the XLA trunk at a lower per-pixel rate.
+inference path uses 128px tiles (also Pallas-eligible since the kernel raises
+its own scoped-VMEM limit; measured 63.3 Mpix-HR/s raw, ~49.9 effective after
+the 1.27x overlap redundancy — see README "Tile-geometry honesty");
+whole frames beyond 16384 LR px fall back to the XLA trunk.
 """
 from __future__ import annotations
 

@@ -148,24 +148,28 @@ def inference_on_full_images(
     # allocate HR-sized 1-channel activations that XLA lane-pads 128x (63 MB
     # -> 7.9 GB at batch 8, measured OOM). Tile geometry measured on v5e
     # (equal-pixel batches, bf16, nb=11): 32x32 tiles run at 133 Mpix-HR/s,
-    # 64x64 at 70.1 (Pallas trunk; 34.2 on the XLA trunk), 128x128 at 31.3
-    # (Pallas-ineligible, see models/esrgan.py pallas_trunk_eligible) — the
-    # per-pixel rate degrades with tile area as HR-scale activations outgrow
-    # VMEM. 64px tiles with 8px overlap give the best *effective* rate at the
-    # same (tile/stride)^2 = 1.78 overlap redundancy as the old 128/16
-    # default: 39.4 vs 17.6 effective Mpix-HR/s, 2.2x.
+    # 64x64 at 70.1 (Pallas trunk; 34.2 on the XLA trunk), 128x128 at
+    # 63.3 Pallas (the fused-RDB kernel raises its own scoped-VMEM limit, so
+    # 16384-px tiles are eligible; 31.3 on the XLA trunk). 128px tiles with
+    # 8px overlap carry only (144/128)^2 = 1.27x overlap redundancy vs 1.56x
+    # for 64/8, so they give the best *effective* rate: ~49.9 vs 39.4
+    # Mpix-HR/s (+27%), and still ~24.7 effective on the XLA trunk
+    # (non-ESRGAN generators) vs 22.0 at 64/8.
     lr_pixels = frames.shape[1] * frames.shape[2]
     if tile_size is None and lr_pixels > 160 * 160:
-        tile_size = 64
+        tile_size = 128
         tile_overlap = min(tile_overlap, 8)
-        logger.info("frame %dx%d: using overlap-tiled SR (tile=64, overlap=%d)",
-                    frames.shape[1], frames.shape[2], tile_overlap)
+        logger.info("frame %dx%d: using overlap-tiled SR (tile=%d, overlap=%d)",
+                    frames.shape[1], frames.shape[2], tile_size, tile_overlap)
 
     if tile_size and (frames.shape[1] > tile_size or frames.shape[2] > tile_size):
         # f16 readback: halves device->host bytes on the thin link (~5e-4
         # relative error on the [-1,1]-normalized output, before denormalize)
+        # chunk size scales inversely with tile area (HBM + Mosaic compile
+        # time both grow with tiles-in-flight x tile pixels)
+        chunk = max(1, (batch_size * 8 * 64 * 64) // (tile_size * tile_size))
         tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
-                        batch_size=batch_size * 8, output_dtype=jnp.float16)
+                        batch_size=chunk, output_dtype=jnp.float16)
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
         return _pipelined_tiled_sweep(
             tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,

@@ -34,12 +34,15 @@ def pallas_trunk_eligible(h: int, w: int) -> bool:
     """Shapes the fused Pallas RDB kernel accepts (see ops/pallas/rdb.py).
 
     The transposed-layout kernel keeps ``batch_tile * h * w`` lanes of every
-    channel in VMEM; 4096 lane-pixels is the measured VMEM budget on v5e, and
-    a 128-multiple keeps the lane axis tile-aligned (no partial-lane rolls).
-    Training tiles (32x32 LR) qualify; whole-frame inference (360x720) falls
-    back to the XLA path.
+    channel in VMEM. The kernel raises its own scoped-VMEM limit to its
+    computed footprint (``compiler_params`` in rdb.py — XLA's 16 MiB default
+    capped it at 4096 px), which covers tiles up to 16384 px (~52 MiB of the
+    128 MiB v5e VMEM at bt=1); 128x128 measured 19% faster per pixel than
+    32x32. A 128-multiple keeps the lane axis tile-aligned (no partial-lane
+    rolls). Whole-frame inference (360x720 = 259200 px) still falls back to
+    the XLA path.
     """
-    return 0 < h * w <= 4096 and (h * w) % 128 == 0
+    return 0 < h * w <= 16384 and (h * w) % 128 == 0
 
 
 class SplitConcatConv(nn.Module):

@@ -14,7 +14,14 @@ training shape):
   matmul costs ceil(M/128)*ceil(K/128)*L/128 passes at ~21 ns), i.e. the
   kernel was at its layout-imposed floor and equaled in-model XLA; packing
   conv5 as a single (9*nf, 128) matmul (5 M-tiles instead of 3x2) brought it
-  to **288 us/RDB — 8% faster than XLA**. A whole-RRDB fused variant was
+  to **288 us/RDB — 8% faster than XLA**. Large tiles are faster still: at
+  128x128/bt=1 (allowed by the kernel raising its own scoped-VMEM limit via
+  ``compiler_params`` — XLA's 16 MiB default capped lanes at 4096 px) the
+  equal-pixel rate is **217 us/RDB vs 334 at 32x32/bt=2** (same-day slope
+  timing; whole-model 128px: 63.3 vs 31.3 XLA Mpix-HR/s). Raising L via
+  ``bt`` alone does NOT help (32x32/bt=8 = 332 us, 64x64/bt=4 = 317 us) —
+  the win is the single-image-per-program geometry, so ``bt`` still targets
+  ~2048 lanes and large tiles run bt=1. A whole-RRDB fused variant was
   tried and measured SLOWER (1137 us vs 3x288=865 us per RRDB): the trunk is
   MXU-pass-bound, the inter-block HBM transfers are already hidden behind
   compute, and the triple-size weight/scratch footprint hurts Mosaic's grid
@@ -276,6 +283,22 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
     zrows = max(9 * gc, 9 * nf)
     with_res = x0t is not None
     data_in = [xt] + ([x0t] if with_res else [])
+    # XLA's default scoped-VMEM budget is 16 MiB, which caps the kernel at
+    # ~4096 lane-pixels; the kernel's true footprint is known exactly, so
+    # raise its own limit (and only its own — surrounding XLA ops keep the
+    # default) to cover up to 16384-px tiles. Measured at 128x128/bt=1:
+    # 224 us/RDB per 131072 px — 19% faster per pixel than the 32x32
+    # geometry (larger L amortizes the rolls/masks better).
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    vmem_bytes = L * (
+        total * itemsize  # feat
+        + zrows * 4  # z (f32)
+        + nf * 4  # y5 (f32)
+        + nf * itemsize * (2 + len(data_in))  # in/out blocks (double-buffered)
+    ) + 2 * (wg.size + w5rows.size) * itemsize
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, int(vmem_bytes * 1.25)))
+    )
     return pl.pallas_call(
         functools.partial(_rdb_t_kernel, nf, gc, h, w, with_res),
         grid=(n // bt,),
@@ -288,6 +311,7 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
             pltpu.VMEM((zrows, L), jnp.float32),  # tap-row matmul result
             pltpu.VMEM((nf, L), jnp.float32),  # conv5 accumulator
         ],
+        compiler_params=compiler_params,
         interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
     )(*data_in, wg, bg, w5rows, b5r)
 

@@ -4,7 +4,7 @@
 
 Builds a synthetic full-size world (360x720 LR months + 1440x2880 elevation /
 land mask), runs `inference_on_full_images` with the flagship generator (the
-shipped auto-tiled path: 64px Pallas tiles, pipelined writer pool) including
+shipped auto-tiled path: 128px Pallas tiles, pipelined writer pool) including
 GeoTIFF writes, and reports months/s. Round-2 baseline on this host: 0.20
 months/s with the serial write path.
 
