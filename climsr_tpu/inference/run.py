@@ -166,8 +166,9 @@ def inference_on_full_images(
         # f16 readback: halves device->host bytes on the thin link (~5e-4
         # relative error on the [-1,1]-normalized output, before denormalize)
         # chunk size scales inversely with tile area (HBM + Mosaic compile
-        # time both grow with tiles-in-flight x tile pixels)
-        chunk = max(1, (batch_size * 8 * 64 * 64) // (tile_size * tile_size))
+        # time both grow with tiles-in-flight x tile pixels); capped at 64
+        # tiles in flight — larger tiled jits measured >28 min remote compile
+        chunk = min(64, max(1, (batch_size * 8 * 64 * 64) // (tile_size * tile_size)))
         tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
                         batch_size=chunk, output_dtype=jnp.float16)
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once

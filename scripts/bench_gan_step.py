@@ -6,7 +6,11 @@ The full production config that no test compiles end-to-end (round-2
 finding): ESRGAN nb=11 generator + ESRGAN discriminator + conv5_4 VGG19
 perceptual graph, fused relativistic G+D step, bs=192, bf16, donated state.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_gan_step.py [bs]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_gan_step.py [bs] [perceptual_interval]
+
+With ``perceptual_interval=k`` > 1 the VGG graph is evaluated on 1 of every k
+steps (training dynamics unchanged under the reference's no-grad perceptual
+quirk); the reported ms/step is then the average over a k-step cycle.
 """
 from __future__ import annotations
 
@@ -26,6 +30,7 @@ from climsr_tpu.training.train_state import GANTrainState
 
 def main() -> None:
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    interval = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     lr_hw = 32
     g_model = create_generator(
         "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
@@ -47,6 +52,7 @@ def main() -> None:
         g_model, d_model, "esrgan", g_tx, d_tx,
         pixel_weight=0.01, perceptual_weight=1.0, adversarial_weight=0.005,
         perceptual_fn=perceptual, compute_dtype=jnp.bfloat16, donate=True,
+        perceptual_interval=interval,
     )
     state = GANTrainState.create(
         g_params, g_tx, d_vars["params"], d_tx, d_vars.get("batch_stats")
@@ -63,15 +69,17 @@ def main() -> None:
     t0 = time.perf_counter()
     state, _ = run(state, 1)
     print(f"# compile+first step: {time.perf_counter() - t0:.0f}s")
-    iters = 5
+    # iters in whole perceptual cycles so interval>1 averages fairly
+    iters = 5 * interval
     samples = []
     for _ in range(3):
-        state, t1 = run(state, 1)
-        state, tn = run(state, iters + 1)
+        state, t1 = run(state, interval)
+        state, tn = run(state, iters + interval)
         samples.append((tn - t1) / iters)
     dt = sorted(samples)[1]
+    tag = f", perceptual 1/{interval} steps" if interval > 1 else ""
     print(
-        f"flagship GAN step (nb=11 + conv5_4 VGG + ESRGAN D, bs={bs}, bf16): "
+        f"flagship GAN step (nb=11 + conv5_4 VGG + ESRGAN D, bs={bs}, bf16{tag}): "
         f"{dt * 1e3:.1f} ms/step = {bs / dt:.0f} samples/s/chip"
     )
 
