@@ -20,7 +20,6 @@ Arrays are HWC float32; the collate step stacks to NHWC (TPU-native layout).
 """
 from __future__ import annotations
 
-import random
 from typing import Dict, Optional, Tuple
 
 import cv2
@@ -120,6 +119,14 @@ class ClimateDataset:
         # and re-normalizes every tile every epoch).
         self.cache_tiles = cache_tiles
         self._tile_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        # per-sample augmentation RNG state: derived from (seed-key, index),
+        # so results are independent of the decode thread pool's scheduling
+        # (the global `random` module would make seeded runs irreproducible).
+        # The loader passes seed+epoch as the key (pipeline.DataLoader.set_epoch).
+        self._epoch = 0
+
+    def set_epoch(self, epoch_key: int) -> None:
+        self._epoch = int(epoch_key)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -193,24 +200,25 @@ class ClimateDataset:
         return item
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        row = self.df.iloc[index]
-        tile_min = float(row[S.global_min] if self.use_global_min_max else row[S.min])
-        tile_max = float(row[S.global_max] if self.use_global_min_max else row[S.max])
-
         img_hr, img_elev, mask, original_image = self._load_normalized(index)
 
         if self.stage == consts.stages.train:
-            return self._training_sample(img_hr, img_elev, mask)
+            return self._training_sample(img_hr, img_elev, mask, index)
+        # the per-tile stats row is only needed by the val/test sample
+        row = self.df.iloc[index]
+        tile_min = float(row[S.global_min] if self.use_global_min_max else row[S.min])
+        tile_max = float(row[S.global_max] if self.use_global_min_max else row[S.max])
         return self._val_test_sample(img_hr, img_elev, mask, original_image, tile_min, tile_max)
 
-    def _training_sample(self, img_hr, img_elev, mask) -> Dict[str, np.ndarray]:
+    def _training_sample(self, img_hr, img_elev, mask, index: int) -> Dict[str, np.ndarray]:
         t = self.transforms_cfg
-        if t.v_flip and random.random() > 0.5:
+        rng = np.random.default_rng((self._epoch, index))
+        if t.v_flip and rng.random() > 0.5:
             img_hr, img_elev, mask = np.flipud(img_hr), np.flipud(img_elev), np.flipud(mask)
-        if t.h_flip and random.random() > 0.5:
+        if t.h_flip and rng.random() > 0.5:
             img_hr, img_elev, mask = np.fliplr(img_hr), np.fliplr(img_elev), np.fliplr(mask)
-        if t.random_90_rotation and random.random() > 0.5:
-            k = random.randint(0, 3)
+        if t.random_90_rotation and rng.random() > 0.5:
+            k = int(rng.integers(0, 4))
             img_hr, img_elev, mask = np.rot90(img_hr, k), np.rot90(img_elev, k), np.rot90(mask, k)
         img_hr = np.ascontiguousarray(img_hr)
         img_elev = np.ascontiguousarray(img_elev)

@@ -70,9 +70,12 @@ class SuperResolutionDataModule:
             train_df = pd.concat(train_dfs)
             val_df = pd.concat(val_dfs)
         else:
-            train_df = self._load_dataframe(self.cfg.world_clim_variable, D.train_feather)
-            val_df = self._load_dataframe(self.cfg.world_clim_variable, D.val_feather)
-            test_dfs = [self._load_dataframe(self.cfg.world_clim_variable, D.test_feather)]
+            # same year/resolution filtering as the temp branch — today the
+            # inner join on the filtered stats table re-applies it, but the
+            # tile tables must not depend on that coincidence
+            train_df = self._filter_df(self._load_dataframe(self.cfg.world_clim_variable, D.train_feather))
+            val_df = self._filter_df(self._load_dataframe(self.cfg.world_clim_variable, D.val_feather))
+            test_dfs = [self._filter_df(self._load_dataframe(self.cfg.world_clim_variable, D.test_feather))]
 
         merge_columns = [D.filename, D.variable, D.year, D.month, D.resolution]
         if self.cfg.europe_extent and D.file_path in stats_df.columns:

@@ -154,7 +154,6 @@ class MinMaxScaler(Scaler):
 class StandardScaler(Scaler):
     mean: float = 0.0
     std: float = 1.0
-    nan_sub: Optional[float] = None
     eps: float = 1e-8
     missing_indicator: Optional[float] = None
     nan_substitution: Optional[float] = None

@@ -66,6 +66,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        # datasets with per-sample augmentation derive their RNG from
+        # (seed+epoch, index) so threaded decode stays order-independent
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.seed + epoch)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
@@ -283,22 +287,47 @@ def device_prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in iterator:
-                q.put(to_device(batch))
+                item = to_device(batch)
+                # bounded put with a stop check: if the consumer abandoned the
+                # generator (limit_train_batches / max_steps / preemption), a
+                # plain q.put() on a full queue would block this thread forever
+                # and pin prefetch+1 device batches in HBM per abandoned epoch
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
-
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer stopped early (break / GeneratorExit): release the producer
+        # and drain so device batches are dropped promptly
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

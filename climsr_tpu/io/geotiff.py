@@ -103,7 +103,6 @@ def write_geotiff(path: Union[str, Path], array: np.ndarray, profile: Optional[G
     data = array.tobytes()  # native little-endian on all target platforms
 
     entries = []  # (tag, type, count, value_bytes or int)
-    extra_blobs = []  # deferred payloads: (entry_index, payload_bytes)
 
     def add(tag, typ, count, value):
         entries.append([tag, typ, count, value])
@@ -369,13 +368,33 @@ def read_geotiff(path: Union[str, Path]) -> Tuple[np.ndarray, GeoProfile]:
 
 
 def _read_via_pil(path) -> Tuple[np.ndarray, GeoProfile]:
+    """PIL fallback for layouts the own codec skips (multi-band, exotic dtype).
+
+    Georeferencing is parsed from the same GeoTIFF tags PIL exposes via
+    ``tag_v2`` — the fallback must not fabricate a default global grid for a
+    file that carries real ModelPixelScale/ModelTiepoint/nodata tags."""
     from PIL import Image
 
     with Image.open(path) as img:
         arr = np.array(img)
+        tags = dict(getattr(img, "tag_v2", {}) or {})
     if arr.ndim == 3:
         arr = arr[..., 0]
-    return arr, GeoProfile(width=arr.shape[1], height=arr.shape[0], dtype=str(arr.dtype))
+    profile = GeoProfile(width=arr.shape[1], height=arr.shape[0], dtype=str(arr.dtype))
+    if _MODEL_PIXEL_SCALE in tags:
+        profile.pixel_size_x = float(tags[_MODEL_PIXEL_SCALE][0])
+        profile.pixel_size_y = float(tags[_MODEL_PIXEL_SCALE][1])
+    if _MODEL_TIEPOINT in tags:
+        tp = tags[_MODEL_TIEPOINT]
+        profile.origin_x, profile.origin_y = float(tp[3]), float(tp[4])
+    if _GDAL_NODATA in tags:
+        txt = tags[_GDAL_NODATA]
+        txt = txt[0] if isinstance(txt, (tuple, list)) else txt
+        try:
+            profile.nodata = float(txt)
+        except (TypeError, ValueError):
+            profile.nodata = np.nan if "nan" in str(txt).lower() else None
+    return arr, profile
 
 
 def read_raster(path: Union[str, Path]) -> np.ndarray:

@@ -37,7 +37,13 @@ def _decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     if len(parts) != 2:
         raise ValueError(f"Unsupported time units: {units!r}")
     step = parts[0].strip().lower()
-    origin = np.datetime64(parts[1].strip().split()[0])
+    # CF origins are often not zero-padded — CRU-TS 4.05 ships
+    # "days since 1900-1-1", which np.datetime64 rejects; normalize to ISO
+    date_str = parts[1].strip().split()[0]
+    ymd = date_str.split("-")
+    if len(ymd) == 3:
+        date_str = f"{int(ymd[0]):04d}-{int(ymd[1]):02d}-{int(ymd[2]):02d}"
+    origin = np.datetime64(date_str)
     step_map = {"days": "D", "day": "D", "hours": "h", "hour": "h", "months": "M", "month": "M"}
     if step not in step_map:
         raise ValueError(f"Unsupported time step: {step!r}")

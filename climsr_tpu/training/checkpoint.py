@@ -98,7 +98,15 @@ def restore_generator_params(path, current_params: Any) -> Any:
         restored = restore_pytree(path)
         # state may be a TrainState dict ({'params': ...}) or a GAN state ({'g_params': ...})
         if isinstance(restored, dict):
-            source = restored.get("params") or restored.get("g_params") or restored
+            # key-presence checks, not truthiness: a present-but-empty params
+            # dict must NOT fall through to flattening the whole state
+            # (opt_state/step/d_params) as the graft source
+            if "params" in restored:
+                source = restored["params"]
+            elif "g_params" in restored:
+                source = restored["g_params"]
+            else:
+                source = restored
         else:
             source = getattr(restored, "params", restored)
 

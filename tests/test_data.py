@@ -137,3 +137,53 @@ def test_shuffle_changes_with_epoch(data_root):
     loader.set_epoch(1)
     second = next(iter(loader))[B.hr].copy()
     assert not np.array_equal(first, second)
+
+
+def test_augmentation_deterministic_per_index(data_root):
+    """Per-sample augmentation derives from (seed-key, index), not the global
+    random module: identical across fetches/thread schedules at the same
+    epoch key, different across epochs."""
+    dm = SuperResolutionDataModule(_cfg(data_root))
+    ds = dm.train_dataset
+    ds.set_epoch(7)
+    a1 = ds[0][consts.batch_items.hr].copy()
+    b1 = ds[1][consts.batch_items.hr].copy()
+    ds.set_epoch(7)
+    np.testing.assert_array_equal(ds[0][consts.batch_items.hr], a1)
+    np.testing.assert_array_equal(ds[1][consts.batch_items.hr], b1)
+    ds.set_epoch(7)
+    ref = [ds[i][consts.batch_items.hr].copy() for i in range(8)]
+    ds.set_epoch(8)
+    changed = any(
+        not np.array_equal(ds[i][consts.batch_items.hr], r) for i, r in enumerate(ref)
+    )
+    assert changed, "augmentation must re-randomize across epochs"
+
+
+def test_device_prefetch_early_exit_releases_producer(data_root):
+    """Breaking out of device_prefetch must unblock and finish the producer
+    thread (it used to block forever in q.put, leaking device batches)."""
+    import threading
+    import time
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from climsr_tpu.data.pipeline import device_prefetch
+    from climsr_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(8, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    def it():
+        for i in range(50):
+            yield {"x": np.full((8, 4), float(i), np.float32), "__valid__": 8}
+
+    before = threading.active_count()
+    gen = device_prefetch(it(), sharding)
+    next(gen)
+    gen.close()  # early exit
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

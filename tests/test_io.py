@@ -282,3 +282,16 @@ def test_geotiff_predictor2_tiled(tmp_path, rng):
     _write_tiff_i16_pred2(fp, arr, tile=16)
     back, _ = read_geotiff(fp)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_cf_time_non_zero_padded_origin():
+    """CRU-TS 4.05 ships 'days since 1900-1-1' — np.datetime64 rejects
+    non-ISO origins unless the decoder normalizes them."""
+    import numpy as np
+
+    from climsr_tpu.io.netcdf import _decode_cf_time
+
+    t = _decode_cf_time(np.array([0.0, 31.0]), "days since 1900-1-1")
+    assert str(t[0]) == "1900-01-01" and str(t[1]) == "1900-02-01"
+    t2 = _decode_cf_time(np.array([1.0]), "months since 1901-1-16 00:00:00")
+    assert str(t2[0]).startswith("1901-02")
