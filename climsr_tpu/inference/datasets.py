@@ -94,7 +94,10 @@ class CRUTSInferenceDataset:
         self.mask_np = ~np.isnan(self.land_mask)
         elevation_arr = read_raster(elevation_file).astype(np.float32)
         elevation_arr = np.where(self.mask_np, elevation_arr, np.nan)  # mask Antarctica
-        self.elevation_data = _hwc(self.elevation_scaler.normalize(elevation_arr))
+        # ocean NaNs must not reach the convs (one NaN floods the output);
+        # minmax substitutes inside the scaler, z-score leaves them (reference
+        # quirk: a 0.0 nan_substitution is a no-op) — substitute here
+        self.elevation_data = _hwc(np.nan_to_num(self.elevation_scaler.normalize(elevation_arr), nan=0.0))
         self.mask_hr = _hwc(self.mask_np.astype(np.float32))
         # LR grid from the actual series (360x720 for real CRU-TS)
         h, w = self.series.data.shape[1:]
@@ -119,7 +122,10 @@ class CRUTSInferenceDataset:
 
         vmin = float(np.nanmin(input_img))
         vmax = float(np.nanmax(input_img))
-        input_img = self.scaler.normalize(input_img) if not self.standardize else self.scaler.normalize(input_img)
+        # minmax mode: auto-range normalize (per-image nanmin/nanmax, the
+        # reference's per-frame behavior); standardize mode: z-score.
+        # NaN ocean pixels are substituted either way (see __init__ note).
+        input_img = np.nan_to_num(self.scaler.normalize(input_img), nan=0.0)
 
         if self.generator_type == consts.models.srcnn:
             h, w = input_img.shape
@@ -206,6 +212,9 @@ class GeoTiffInferenceDataset:
         elevation_arr = self.elevation_scaler.normalize(
             elevation_arr, missing_indicator=consts.world_clim.elevation_missing_indicator
         ) if not self.standardize else self.elevation_scaler.normalize(elevation_arr)
+        # NaNs (ocean/Antarctica) must not reach the convs; z-score leaves
+        # them in place (0.0 nan_substitution is a reference-quirk no-op)
+        elevation_arr = np.nan_to_num(elevation_arr, nan=0.0)
         self.elevation_data = _hwc(elevation_arr)
         self.elevation_lr = _hwc(
             cv2.resize(elevation_arr, (self.lr_size, self.lr_size), interpolation=cv2.INTER_NEAREST)
@@ -226,7 +235,7 @@ class GeoTiffInferenceDataset:
         if self.normalize:
             img_lr = self.scaler.normalize(img_lr, vmin, vmax)
         else:
-            img_lr = self.scaler.normalize(img_lr)
+            img_lr = np.nan_to_num(self.scaler.normalize(img_lr), nan=0.0)
 
         if self.generator_type == consts.models.srcnn:
             img_lr = cv2.resize(img_lr, (self.hr_size, self.hr_size), interpolation=cv2.INTER_NEAREST)

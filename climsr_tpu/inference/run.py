@@ -29,7 +29,7 @@ import pandas as pd
 
 import climsr_tpu.consts as consts
 from climsr_tpu.config.schemas import InferenceConfig
-from climsr_tpu.data.normalization import MinMaxScaler
+from climsr_tpu.data.normalization import MinMaxScaler, StandardScaler
 from climsr_tpu.inference.datasets import CRUTSInferenceDataset, GeoTiffInferenceDataset
 from climsr_tpu.inference.tiled import TiledSR, whole_frame_sr
 from climsr_tpu.io.geotiff import GeoProfile, read_geotiff, write_geotiff
@@ -52,10 +52,22 @@ def load_generator(pretrained_model: str, generator_type: str, generator_kwargs:
     else:
         restored = restore_pytree(pretrained_model)
         if isinstance(restored, dict):
-            params = restored.get("params") or restored.get("g_params") or restored
+            # key-presence, not truthiness (an empty 'params' dict must not
+            # fall through to the whole state)
+            if "params" in restored:
+                params = restored["params"]
+            elif "g_params" in restored:
+                params = restored["g_params"]
+            else:
+                params = restored
         else:
-            params = getattr(restored, "params", None) or getattr(restored, "g_params")
-    model = create_generator(generator_type, dtype=jnp.bfloat16, **(generator_kwargs or {}))
+            params = getattr(restored, "params", None)
+            if params is None:
+                params = restored.g_params
+    # the generator config group carries its own 'name' key — the positional
+    # generator_type governs; passing both would TypeError
+    kwargs = {k: v for k, v in (generator_kwargs or {}).items() if k != "name"}
+    model = create_generator(generator_type, dtype=jnp.bfloat16, **kwargs)
     return model, params
 
 
@@ -90,7 +102,12 @@ def inference_on_full_images(
 ) -> List[str]:
     """SR every frame in ``ds``; write one GeoTIFF per frame. Returns paths."""
     os.makedirs(out_dir, exist_ok=True)
-    scaler = MinMaxScaler(feature_range=tuple(normalization_range))
+    # Denormalize with the SAME scaler family the dataset normalized with:
+    # in standardize mode the dataset z-scored the inputs, so mapping the SR
+    # output through minmax(vmin, vmax) would write silently wrong values.
+    scaler = getattr(ds, "scaler", None)
+    if scaler is None:
+        scaler = MinMaxScaler(feature_range=tuple(normalization_range))
     mask_arr, mask_profile = read_geotiff(ds.land_mask_file)
     mask_np = ds.mask_np
 
@@ -163,21 +180,33 @@ def inference_on_full_images(
                     frames.shape[1], frames.shape[2], tile_size, tile_overlap)
 
     if tile_size and (frames.shape[1] > tile_size or frames.shape[2] > tile_size):
+        # srcnn consumes a pre-upscaled frame (HR in, HR out): its tiles come
+        # back at input size, so the tiler's scale is 1, not scaling_factor
+        from climsr_tpu.models import PRE_UPSCALED_GENERATORS
+
+        out_scale = 1 if generator_type in PRE_UPSCALED_GENERATORS else scaling_factor
         # f16 readback: halves device->host bytes on the thin link (~5e-4
         # relative error on the [-1,1]-normalized output, before denormalize)
         # chunk size scales inversely with tile area (HBM + Mosaic compile
         # time both grow with tiles-in-flight x tile pixels); capped at 64
         # tiles in flight — larger tiled jits measured >28 min remote compile
         chunk = min(64, max(1, (batch_size * 8 * 64 * 64) // (tile_size * tile_size)))
-        tiler = TiledSR(gen_fn, scale=scaling_factor, tile_size=tile_size, overlap=tile_overlap,
+        tiler = TiledSR(gen_fn, scale=out_scale, tile_size=tile_size, overlap=tile_overlap,
                         batch_size=chunk, output_dtype=jnp.float16)
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
         return _pipelined_tiled_sweep(
             tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,
-            scaling_factor,
+            out_scale,
         )
     sr_frames = whole_frame_sr(gen_fn, frames, extras=extras, batch_size=batch_size)
     return _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, written)
+
+
+def _denormalize(scaler, arr: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    """Scaler-family-aware denormalization: z-score needs no per-frame range."""
+    if isinstance(scaler, StandardScaler):
+        return scaler.denormalize(arr)
+    return scaler.denormalize(arr, vmin, vmax)
 
 
 def _pipelined_tiled_sweep(
@@ -206,7 +235,7 @@ def _pipelined_tiled_sweep(
         # top of the readback rounding
         arr = np.asarray(dev_out)[: h * scaling_factor, : w * scaling_factor].astype(np.float32)
         filename, vmin, vmax = metas[i]
-        arr = scaler.denormalize(arr, vmin, vmax)
+        arr = _denormalize(scaler, arr, vmin, vmax)
         arr = np.where(mask_np, arr, np.nan).astype(np.float32)
         if profile is None:
             profile = GeoProfile(
@@ -247,7 +276,7 @@ def _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, wri
         nodata=np.nan,
     )
     for i, (filename, vmin, vmax) in enumerate(metas):
-        arr = scaler.denormalize(sr_frames[i][..., 0], vmin, vmax)
+        arr = _denormalize(scaler, sr_frames[i][..., 0], vmin, vmax)
         arr = np.where(mask_np, arr, np.nan).astype(np.float32)
         out_path = os.path.join(out_dir, filename)
         write_geotiff(out_path, arr, profile)
@@ -256,16 +285,16 @@ def _write_outputs(sr_frames, metas, scaler, mask_np, mask_profile, out_dir, wri
 
 
 def run_inference(cfg: InferenceConfig, cruts_variables: List[str], generator_kwargs: Optional[dict] = None) -> None:
+    # loop-invariant: one checkpoint load / stats read for all variables
+    model, params = load_generator(cfg.pretrained_model, cfg.generator_type, generator_kwargs)
+    min_max_all = pd.read_feather(cfg.min_max_lookup)
     for var in cruts_variables:
         out_path = os.path.join(cfg.inference_out_path, var)
         os.makedirs(out_path, exist_ok=True)
         logger.info("Running inference for variable: %s with model: %s", var, cfg.pretrained_model)
 
-        model, params = load_generator(cfg.pretrained_model, cfg.generator_type, generator_kwargs)
-
-        min_max_lookup = pd.read_feather(cfg.min_max_lookup)
-        min_max_lookup = min_max_lookup[
-            (min_max_lookup[D.dataset] == "cru-ts") & (min_max_lookup[D.variable] == var)
+        min_max_lookup = min_max_all[
+            (min_max_all[D.dataset] == "cru-ts") & (min_max_all[D.variable] == var)
         ]
 
         if cfg.use_netcdf_datasets:
@@ -339,9 +368,13 @@ def transform_tiff_files_to_net_cdf(
             arr, profile = read_geotiff(fp)
             arrs.append(arr)
         h, w = arrs[0].shape
-        # north-up raster: row 0 = origin_y (top); CF lat ascending from the south
-        lat = profile.origin_y - (np.arange(h) + 0.5) * profile.pixel_size_y
+        # GeoTIFF rasters are north-up (row 0 = origin_y); CRU-TS NetCDF
+        # stores lat ASCENDING from the south — flip the rows so the export
+        # matches the real CRU-TS convention (and our own reader, which
+        # flipud's each frame on load, inference/datasets.py)
+        lat = (profile.origin_y - (np.arange(h) + 0.5) * profile.pixel_size_y)[::-1].copy()
         lon = profile.origin_x + (np.arange(w) + 0.5) * profile.pixel_size_x
+        arrs = [a[::-1] for a in arrs]
         series = stack_monthly_rasters(arrs, timestamps, lat, lon, var)
         out = os.path.join(nc_out_path, f"{prefix}.cru_ts4.05.nn.inference.1901.2020.{var}.dat.nc")
         write_climate_series(

@@ -19,13 +19,17 @@ class RegressionAccuracy:
         self.reset()
 
     def reset(self) -> None:
-        self.correct = jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32)
+        # f32 accumulators, not int32: a whole-globe sweep exceeds 2^31
+        # pixels after ~500 frames and int32 silently wraps negative (per-
+        # update counts are millions, far above f32's ulp at 1e10, so the
+        # ratio stays accurate)
+        self.correct = jnp.zeros((), jnp.float32)
         self.total = jnp.zeros_like(self.correct)
 
     def update(self, preds: jax.Array, target: jax.Array) -> None:
         assert preds.shape == target.shape
-        self.correct = self.correct + jnp.sum(jnp.abs(preds - target) <= self.eps)
-        self.total = self.total + target.size
+        self.correct = self.correct + jnp.sum(jnp.abs(preds - target) <= self.eps).astype(jnp.float32)
+        self.total = self.total + jnp.float32(target.size)
 
     def compute(self) -> jax.Array:
         return self.correct.astype(jnp.float32) / self.total

@@ -123,10 +123,15 @@ def handle_file_extraction(f_name: str, replace_underscore: bool = False) -> Non
         else:
             raise ValueError(f"{f_name} compression type is unsupported! Supported: ZIP, GZ")
     except Exception:
+        # remove the partial extraction RECURSIVELY — a non-empty dir left
+        # behind would pass the 'already extracted' check on the retry and
+        # accept a corrupt/incomplete dataset
         if os.path.isfile(extraction_path):
             os.remove(extraction_path)
         elif os.path.isdir(extraction_path):
-            os.rmdir(extraction_path)
+            import shutil
+
+            shutil.rmtree(extraction_path, ignore_errors=True)
         raise
 
 

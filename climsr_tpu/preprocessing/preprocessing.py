@@ -457,9 +457,11 @@ def run_train_val_test_split(cfg: PreProcessingConfig) -> None:
                     continue
                 if (train_lo <= year <= train_hi) or _is_future(year):
                     stage = consts.stages.train
-                elif (val_lo <= year <= val_hi) and x % cfg.patch_size[1] == 0 and y % cfg.patch_size[0] == 0:
+                # non-overlap guard axes match _make_patches: patch_size[0] is
+                # tile WIDTH (x/col axis), patch_size[1] tile HEIGHT (y/row)
+                elif (val_lo <= year <= val_hi) and x % cfg.patch_size[0] == 0 and y % cfg.patch_size[1] == 0:
                     stage = consts.stages.val
-                elif (test_lo <= year <= test_hi) and x % cfg.patch_size[1] == 0 and y % cfg.patch_size[0] == 0:
+                elif (test_lo <= year <= test_hi) and x % cfg.patch_size[0] == 0 and y % cfg.patch_size[1] == 0:
                     stage = consts.stages.test
                 elif WC.elev in tile_fp:
                     stage = WC.elev

@@ -35,6 +35,11 @@ def build_fallback_table() -> pd.DataFrame:
 
 
 def scrape(url: str = PEAKS_URL) -> pd.DataFrame:
+    """Scrape peaks into the SAME schema as the fallback table:
+    ``[name, lat, lon, altitude]`` — downstream result inspection reads
+    lat/lon columns, so rows whose coordinates can't be parsed are skipped."""
+    import re
+
     import requests
     from bs4 import BeautifulSoup
 
@@ -44,12 +49,28 @@ def scrape(url: str = PEAKS_URL) -> pd.DataFrame:
     rows = []
     for table in soup.find_all("table", {"class": "wikitable"}):
         for tr in table.find_all("tr")[1:]:
-            cells = [td.get_text(strip=True) for td in tr.find_all(["td", "th"])]
-            if len(cells) >= 3:
-                rows.append(cells[:4])
+            tds = tr.find_all(["td", "th"])
+            if len(tds) < 3:
+                continue
+            name = tds[0].get_text(strip=True)
+            # wiki coordinate microformat: <span class="geo">50.123; 19.456</span>
+            geo = tr.find("span", {"class": "geo"})
+            if geo is None:
+                continue
+            m = re.match(r"\s*(-?\d+(?:\.\d+)?)\s*;\s*(-?\d+(?:\.\d+)?)", geo.get_text())
+            if not m:
+                continue
+            lat, lon = float(m.group(1)), float(m.group(2))
+            alt = None
+            for td in tds[1:]:
+                am = re.search(r"(\d{3,4})", td.get_text(strip=True).replace("\xa0", ""))
+                if am:
+                    alt = float(am.group(1))
+                    break
+            rows.append((name, lat, lon, alt))
     if not rows:
         raise RuntimeError("No peak rows parsed")
-    return pd.DataFrame(rows, columns=["name", "altitude", "range", "coords"][: len(rows[0])])
+    return pd.DataFrame(rows, columns=["name", "lat", "lon", "altitude"])
 
 
 def main() -> None:

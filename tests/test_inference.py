@@ -323,3 +323,165 @@ def test_tiled_grouped_blend_matches_loop_blend(rng):
     want = np.asarray(fn(frame[None]))[0]
     np.testing.assert_allclose(out_g, want, atol=1e-5)
     np.testing.assert_allclose(out_l, want, atol=1e-5)
+
+
+def test_srcnn_tiled_inference_scale_one(cruts_fixture, rng):
+    """srcnn frames are pre-upscaled (HR in, HR out): the tiler must run at
+    scale 1 — this used to trace TiledSR at scale 4 and crash on the feather
+    window broadcast."""
+    import jax
+
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images
+    from climsr_tpu.models import create_generator
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="srcnn",
+        scaling_factor=4,
+    )
+    model = create_generator("srcnn", out_channels=1, dtype=jnp.float32)
+    item = ds[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + item[consts.batch_items.lr].shape))["params"]
+    out_dir = cruts_fixture["tmp_path"] / "sr_srcnn" / "tmp"
+    written = inference_on_full_images(
+        model, params, ds, str(out_dir), "srcnn", batch_size=2, tile_size=64, tile_overlap=8
+    )
+    assert len(written) == cruts_fixture["months"]
+    h, w = cruts_fixture["hw"]
+    arr, _ = read_geotiff(written[0])
+    assert arr.shape == (h * 4, w * 4)
+    assert np.isfinite(arr[cruts_fixture["scale"] * 4 :]).all()
+
+
+def test_standardize_mode_denormalizes_with_zscore(cruts_fixture, rng):
+    """normalize=False: the dataset z-scores inputs, so outputs must map back
+    through x*std+mean — not through the per-frame minmax range."""
+    import pandas as pd
+
+    import jax
+
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images
+    from climsr_tpu.models import create_generator
+
+    D = consts.datasets_and_preprocessing
+    S = consts.stats
+    mean, std = 100.0, 2.0  # far from the data's own range -> detectable
+    stats = pd.DataFrame(
+        {
+            D.variable: ["tmp", consts.world_clim.elev],
+            S.mean: [mean, 500.0],
+            S.std: [std, 300.0],
+        }
+    )
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="esrgan",
+        scaling_factor=4,
+        normalize=False,
+        standardize=True,
+        standardize_stats=stats,
+    )
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, dtype=jnp.float32)
+    item = ds[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + item[consts.batch_items.lr].shape),
+        jnp.zeros((1,) + item[consts.batch_items.elevation].shape),
+        jnp.zeros((1,) + item[consts.batch_items.mask].shape),
+    )["params"]
+    out_dir = cruts_fixture["tmp_path"] / "sr_std" / "tmp"
+    written = inference_on_full_images(model, params, ds, str(out_dir), "esrgan", batch_size=2)
+    arr, _ = read_geotiff(written[0])
+    land = arr[np.isfinite(arr)]
+    # random-init generator emits O(1) values; z-score denorm centers them at
+    # mean=100 with spread ~std=2 — the old minmax mapping would land near the
+    # frame's own [vmin, vmax] range (~10 +- 5)
+    assert abs(np.median(land) - mean) < 10 * std, np.median(land)
+
+
+def test_netcdf_export_lat_ascending_roundtrip(cruts_fixture, rng):
+    """The exported NetCDF stores lat ascending (CRU-TS convention): reading
+    it back and flipping (as our own readers do) reproduces the GeoTIFF."""
+    from glob import glob
+
+    from climsr_tpu.inference.run import transform_tiff_files_to_net_cdf
+
+    src_dir = cruts_fixture["tmp_path"] / "nc_rt" / "tmp"
+    src_dir.mkdir(parents=True)
+    h, w = 16, 32
+    arr = rng.normal(size=(h, w)).astype(np.float32)
+    write_geotiff(src_dir / "cruts-tmp-1901-01-16.tif", arr, GeoProfile.global_grid(h, w))
+    nc_dir = cruts_fixture["tmp_path"] / "nc_rt_out"
+    transform_tiff_files_to_net_cdf(str(src_dir.parent), str(nc_dir), ["tmp"], prefix="rt")
+    nc_path = glob(str(nc_dir / "*.nc"))[0]
+    series = read_climate_series(nc_path, "tmp")
+    assert series.lat[0] < series.lat[-1], "lat must ascend from the south"
+    np.testing.assert_allclose(np.flipud(series.data[0]), arr, rtol=1e-6)
+
+
+@pytest.mark.e2e
+def test_inference_cli_end_to_end(cruts_fixture, tmp_path):
+    """The real `python inference.py` surface: compose config -> checkpoint
+    load -> per-variable SR -> GeoTIFF writes -> CF NetCDF export."""
+    import glob
+
+    import jax
+    import orbax.checkpoint as ocp
+    import pandas as pd
+
+    from climsr_tpu.cli.inference import main
+    from climsr_tpu.models import create_generator
+
+    D = consts.datasets_and_preprocessing
+    h, w = cruts_fixture["hw"]
+    scale = cruts_fixture["scale"]
+    pd.DataFrame({D.dataset: ["cru-ts"], D.variable: ["tmp"], "min": [0.0], "max": [20.0]}).to_feather(
+        tmp_path / "minmax.feather"
+    )
+    model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, dtype=jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, h, w, 3), jnp.bfloat16),
+        jnp.zeros((1, h * scale, w * scale, 1), jnp.bfloat16),
+        jnp.ones((1, h * scale, w * scale, 1), jnp.bfloat16),
+    )["params"]
+    ckpt = tmp_path / "ckpt"
+    with ocp.StandardCheckpointer() as c:
+        c.save(ckpt, {"params": jax.device_get(params)})
+
+    out = tmp_path / "out"
+    main([
+        "inference.run_inference=true", "inference.to_netcdf=true",
+        "inference.use_netcdf_datasets=true",
+        f"inference.ds_path={cruts_fixture['nc']}",
+        f"inference.elevation_file={cruts_fixture['elev']}",
+        f"inference.land_mask_file={cruts_fixture['mask']}",
+        f"inference.min_max_lookup={tmp_path / 'minmax.feather'}",
+        f"inference.zscore_lookup={tmp_path / 'minmax.feather'}",
+        f"inference.pretrained_model={ckpt}",
+        "inference.generator_type=esrgan",
+        # the generator group carries 'name' — must not collide with the
+        # positional generator_type in load_generator
+        "generator={name: esrgan, nf: 8, nb: 1, gc: 4, out_channels: 1}",
+        f"inference.inference_out_path={out}",
+        f"inference.extent_out_path_sr_nc={tmp_path / 'nc_out'}",
+        "inference.cruts_variable=tmp",
+        "inference.batch_size=2",
+    ])
+    tifs = sorted(glob.glob(f"{out}/tmp/*.tif"))
+    assert len(tifs) == cruts_fixture["months"]
+    arr, _ = read_geotiff(tifs[0])
+    assert arr.shape == (h * scale, w * scale)
+    ncs = glob.glob(f"{tmp_path}/nc_out/*.nc")
+    assert ncs
+    series = read_climate_series(ncs[0], "tmp")
+    assert series.lat[0] < series.lat[-1]
+    np.testing.assert_allclose(
+        np.nan_to_num(np.flipud(series.data[0])), np.nan_to_num(arr), atol=1e-3
+    )
