@@ -158,7 +158,14 @@ class RFBESRGANGenerator(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         import math
 
-        num_upsample_block = int(math.log(self.scaling_factor, 4))
+        # each upsampling block is x4 (reference rfb_esrgan.py:90,111-121);
+        # guard non-power-of-4 factors — int(log(2,4))==0 would silently
+        # return an LR-sized output
+        if 4 ** int(round(math.log(self.scaling_factor, 4))) != self.scaling_factor:
+            raise NotImplementedError(
+                f"RFB-ESRGAN upsamples in x4 blocks; scaling_factor={self.scaling_factor} unsupported"
+            )
+        num_upsample_block = int(round(math.log(self.scaling_factor, 4)))
         conv_nb = partial(TorchConv, use_bias=False, dtype=self.dtype)
         rrdb_cls = nn.remat(RFBResidualInResidualDenseBlock) if self.remat else RFBResidualInResidualDenseBlock
         rrfdb_cls = nn.remat(ResidualOfReceptiveFieldDenseBlock) if self.remat else ResidualOfReceptiveFieldDenseBlock

@@ -199,20 +199,18 @@ class Trainer:
             for ds in self.dm.test_datasets
         ]
         # device-resident eval stores (validation runs every epoch; keeping the
-        # val/test samples on HBM removes all per-step host transfers)
+        # val/test samples on HBM removes all per-step host transfers). Built
+        # LAZILY on first use: test stores must not pin HBM during the whole
+        # fit when test() may never run.
         self._eval_stores: Dict[int, Dict] = {}
+        self._eval_store_datasets: Dict[int, Any] = {}
+        self._eval_store_workers = cfg.num_workers
         if self.train_store is not None:
-            import jax.numpy as _jnp
-
-            from climsr_tpu.data.pipeline import build_eval_device_store
-
-            self._eval_stores[id(self.val_loader)] = build_eval_device_store(
-                self.dm.val_dataset, num_workers=cfg.num_workers
-            )
+            self._eval_store_datasets[id(self.val_loader)] = self.dm.val_dataset
             for loader, ds in zip(self.test_loaders, self.dm.test_datasets):
-                self._eval_stores[id(loader)] = build_eval_device_store(ds, num_workers=cfg.num_workers)
+                self._eval_store_datasets[id(loader)] = ds
             self._gather_eval = jax.jit(
-                lambda store, idx: jax.tree_util.tree_map(lambda v: _jnp.take(v, idx, axis=0), store)
+                lambda store, idx: jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), store)
             )
 
         # num_training_steps inference (reference task.py:62-83)
@@ -226,6 +224,14 @@ class Trainer:
         if trainer_cfg.max_steps and -1 < trainer_cfg.max_steps < self.num_training_steps:
             self.num_training_steps = trainer_cfg.max_steps
         logger.info("Inferred number of training steps: %d", self.num_training_steps)
+        # loop-termination limit in MICRO-batch steps (global_step counts
+        # micro-batches; max_steps counts optimizer steps like PL), with the
+        # PL sentinel max_steps=-1 meaning unlimited
+        self._max_micro_steps = (
+            trainer_cfg.max_steps * accum
+            if (trainer_cfg.max_steps and trainer_cfg.max_steps > 0)
+            else None
+        )
 
         # ---- models -------------------------------------------------------
         gen_kwargs = {
@@ -267,7 +273,10 @@ class Trainer:
         self.g_schedule = g_schedule
 
         if self.is_gan:
-            hr_shape = (2, self.dm.train_dataset.hr_size, self.dm.train_dataset.hr_size, 1)
+            # init at the discriminator's configured channel count — flax
+            # infers cin from the example input, not from the module field
+            d_in_ch = getattr(self.discriminator_cfg, "in_channels", 1) if self.discriminator_cfg else 1
+            hr_shape = (2, self.dm.train_dataset.hr_size, self.dm.train_dataset.hr_size, d_in_ch)
             d_vars = self.d_model.init(jax.random.PRNGKey(training_cfg.seed + 1), jnp.zeros(hr_shape), train=False)
             d_params = d_vars["params"]
             d_bs = d_vars.get("batch_stats")
@@ -454,8 +463,10 @@ class Trainer:
         )
 
     def _example_inputs(self, cfg):
+        from climsr_tpu.models import PRE_UPSCALED_GENERATORS
+
         ds = self.dm.train_dataset
-        lr_size = ds.hr_size if self.generator_type in ("srcnn",) else ds.lr_size
+        lr_size = ds.hr_size if self.generator_type in PRE_UPSCALED_GENERATORS else ds.lr_size
         in_ch = 1 + cfg.use_elevation + cfg.use_mask
         x = jnp.zeros((2, lr_size, lr_size, in_ch), self.compute_dtype)
         elev = jnp.zeros((2, ds.hr_size, ds.hr_size, 1), self.compute_dtype)
@@ -587,7 +598,7 @@ class Trainer:
                         if self.early_stop_count >= tc.early_stopping_patience:
                             logger.info("Early stopping at epoch %d (patience %d)", epoch, tc.early_stopping_patience)
                             break
-            if tc.max_steps and self.global_step >= tc.max_steps:
+            if self._max_micro_steps and self.global_step >= self._max_micro_steps:
                 break
         self.ckpt.wait()
         return last_val
@@ -618,10 +629,16 @@ class Trainer:
             if self.preempted:
                 break
             samples += n_in_batch
+            if tc.terminate_on_nan:
+                # reference-parity per-STEP check (PL terminate_on_nan); costs
+                # one device sync per step — users opt in for the safety
+                host_nan = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                if any(np.isnan(v) for v in host_nan.values()):
+                    raise FloatingPointError(
+                        f"NaN in training metrics at step {self.global_step}: {host_nan}"
+                    )
             if self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                if tc.terminate_on_nan and any(np.isnan(v) for v in host.values()):
-                    raise FloatingPointError(f"NaN in training metrics at step {self.global_step}: {host}")
                 dt = time.time() - t0
                 host["train/samples_per_sec"] = samples / max(dt, 1e-9)
                 # optax.MultiSteps advances the schedule once per *optimizer*
@@ -629,7 +646,7 @@ class Trainer:
                 # runs ahead of the true schedule by accum x.
                 host["lr"] = float(self.g_schedule(self.global_step // self._accum))
                 self.metric_logger.log_metrics(host, self.global_step)
-            if tc.max_steps and self.global_step >= tc.max_steps:
+            if self._max_micro_steps and self.global_step >= self._max_micro_steps:
                 break
         jax.block_until_ready(self.state.step)
         logger.info(
@@ -640,19 +657,24 @@ class Trainer:
     def _eval_batches(self, loader):
         """Yield (batch_on_device, n_valid) — from the HBM store when present."""
         store = self._eval_stores.get(id(loader))
+        if store is None and id(loader) in self._eval_store_datasets:
+            from climsr_tpu.data.pipeline import build_eval_device_store
+
+            store = build_eval_device_store(
+                self._eval_store_datasets[id(loader)], num_workers=self._eval_store_workers
+            )
+            self._eval_stores[id(loader)] = store
         if store is None:
             for batch in device_prefetch(iter(loader), self.batch_sharding):
                 yield batch, float(batch.pop(VALID_KEY))
             return
-        import numpy as _np
-
         n = len(loader.dataset)
         bs = loader.batch_size
         for start in range(0, n, bs):
-            idx = _np.arange(start, min(start + bs, n), dtype=_np.int32)
+            idx = np.arange(start, min(start + bs, n), dtype=np.int32)
             n_valid = float(len(idx))
             if len(idx) < bs:  # pad to the compiled batch shape
-                idx = _np.concatenate([idx, _np.full(bs - len(idx), idx[-1], _np.int32)])
+                idx = np.concatenate([idx, np.full(bs - len(idx), idx[-1], np.int32)])
             yield self._gather_eval(store, jnp.asarray(idx)), n_valid
 
     def _eval_loop(self, loader, prefix: str, extra_gan_losses: bool = False) -> Dict[str, float]:

@@ -103,8 +103,11 @@ def build_optimizer(
         if cfg.momentum:
             chain.append(optax.trace(decay=cfg.momentum))
     elif name == "rprop":
-        # rprop manages its own per-weight step sizes; schedule not applicable
-        tx = rprop(learning_rate=cfg.lr)
+        # rprop manages its own per-weight step sizes (schedule not
+        # applicable) — but clipping/coupled weight decay collected in
+        # `chain` above must still apply, like every other optimizer here
+        chain.append(rprop(learning_rate=cfg.lr))
+        tx = optax.chain(*chain)
         if accumulate_grad_batches > 1:
             return optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
         return tx

@@ -200,3 +200,32 @@ def test_deterministic_training_is_bit_stable(tiny_world, tmp_path):
     a = one_run(tmp_path / "a")
     b = one_run(tmp_path / "b")
     assert a and a == b
+
+
+def test_max_steps_minus_one_means_unlimited(tiny_world, tmp_path):
+    """PL sentinel max_steps=-1: training must run the full epoch budget, not
+    stop after one micro-batch (a truthy -1 used to trip `global_step >= -1`)."""
+    import csv as _csv
+
+    import glob as _glob
+
+    from climsr_tpu.cli.train import main
+
+    hp = main([
+        "experiment=srcnn_pre_training_debug",
+        f"datamodule.cfg.data_path={tiny_world}",
+        "training.batch_size=8",
+        "training.validation_batch_size=8",
+        "trainer.max_epochs=1",
+        "trainer.max_steps=-1",
+        "trainer.limit_train_batches=3",
+        "trainer.limit_val_batches=1",
+        "trainer.limit_test_batches=1",
+        "trainer.log_every_n_steps=1",
+        "print_config=false",
+        f"training.output_dir={tmp_path}",
+    ])
+    assert hp is not None and np.isfinite(hp)
+    rows = list(_csv.DictReader(open(_glob.glob(f"{tmp_path}/outputs/runs/srcnn/*/metrics.csv")[0])))
+    steps = {int(r["step"]) for r in rows if r.get("train/loss") and r["step"].isdigit()}
+    assert len(steps) >= 3, f"expected >=3 training steps, saw {sorted(steps)}"

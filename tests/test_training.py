@@ -221,3 +221,26 @@ def test_checkpoint_roundtrip_and_graft(tmp_path, rng):
     grafted = restore_generator_params(tmp_path / "ck", fresh)
     np.testing.assert_allclose(grafted["conv"]["kernel"], params["conv"]["kernel"])
     np.testing.assert_allclose(grafted["tail"]["kernel"], 1.0)
+
+
+def test_rprop_applies_weight_decay_chain():
+    """rprop must flow through the shared clip/decay chain like every other
+    optimizer (it used to return early and drop them)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.training.optimizers import build_optimizer
+
+    params = {"w": jnp.ones((4,)) * 2.0}
+    grads = {"w": -jnp.ones((4,)) * 0.1}  # decay (wd*w=+1.0) flips the sign rprop sees
+
+    def step(wd):
+        tx = build_optimizer(OptimizerConfig(name="rprop", lr=1e-2, weight_decay=wd), lambda s: 1e-2)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        return np.asarray(updates["w"])
+
+    u0, u1 = step(0.0), step(0.5)
+    assert not np.allclose(u0, u1), "weight decay must reach the rprop transform"
