@@ -115,6 +115,11 @@ def _esrgan_spec(sd: Dict[str, np.ndarray]) -> Spec:
 
 def _rcan_spec(sd: Dict[str, np.ndarray]) -> Spec:
     groups = sorted({int(m.group(1)) for k in sd if (m := re.match(r"body\.(\d+)\.body\.", k))})
+    if not groups:
+        raise ValueError(
+            "checkpoint has no 'body.N.body.*' keys — not an RCAN state_dict "
+            "(wrong --generator / mislabeled checkpoint?)"
+        )
     n_resgroups = 1 + max(groups, default=-1)
     blocks = sorted({int(m.group(1)) for k in sd if (m := re.match(rf"body\.{groups[0]}\.body\.(\d+)\.body\.", k))})
     n_resblocks = 1 + max(blocks, default=-1)

@@ -58,6 +58,12 @@ FileBuf read_file(const char* path) {
     std::fseek(f, 0, SEEK_END);
     long size = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
+    // ftell can return -1 (unseekable special files); a negative size cast to
+    // size_t would make resize throw across the extern "C" boundary
+    if (size < 0) {
+        std::fclose(f);
+        return fb;
+    }
     fb.data.resize(static_cast<size_t>(size));
     fb.ok = std::fread(fb.data.data(), 1, fb.data.size(), f) == fb.data.size();
     std::fclose(f);
@@ -148,7 +154,7 @@ int decode_tiff_f32_impl(const uint8_t* buf, size_t n, float* out, int32_t* out_
     // strips hold whole rows, so horizontal differencing (predictor 2) is
     // undone with a per-row prefix sum over the assembled raster. The
     // floating-point predictor (3) needs a byte de-interleave — defer to the
-    // Python codec (which rejects it explicitly) rather than decode garbage.
+    // Python codec (io/geotiff.py decodes it) rather than decode garbage.
     if (predictor == 2) {
         if (sample_format == 1 && bits == 8) {
             for (uint32_t y = 0; y < height; ++y) {
@@ -188,19 +194,31 @@ extern "C" {
 
 // Probe dims: returns 0 and fills h/w on success.
 int climsr_tiff_probe(const char* path, int32_t* h, int32_t* w) {
-    FileBuf fb = read_file(path);
-    if (!fb.ok) return 10;
-    return decode_tiff_f32_impl(fb.data.data(), fb.data.size(), nullptr, h, w);
+    try {
+        FileBuf fb = read_file(path);
+        if (!fb.ok) return 10;
+        return decode_tiff_f32_impl(fb.data.data(), fb.data.size(), nullptr, h, w);
+    } catch (...) {
+        return 12;  // never let a C++ exception cross into ctypes
+    }
 }
 
 // Decode into caller-provided buffer of h*w floats.
 int climsr_tiff_read_f32(const char* path, float* out, int32_t h, int32_t w) {
-    FileBuf fb = read_file(path);
-    if (!fb.ok) return 10;
-    int32_t gh = 0, gw = 0;
-    int rc = decode_tiff_f32_impl(fb.data.data(), fb.data.size(), out, &gh, &gw);
-    if (rc != 0) return rc;
-    return (gh == h && gw == w) ? 0 : 9;
+    try {
+        FileBuf fb = read_file(path);
+        if (!fb.ok) return 10;
+        // validate dims BEFORE writing: the file may have changed between the
+        // caller's probe and this read, and out only holds h*w floats — a
+        // dims-first pass prevents a heap overflow on such races
+        int32_t gh = 0, gw = 0;
+        int rc = decode_tiff_f32_impl(fb.data.data(), fb.data.size(), nullptr, &gh, &gw);
+        if (rc != 0) return rc;
+        if (gh != h || gw != w) return 9;
+        return decode_tiff_f32_impl(fb.data.data(), fb.data.size(), out, &gh, &gw);
+    } catch (...) {
+        return 12;
+    }
 }
 
 // Nearest resize, cv2 semantics (src index = floor(dst * src/dst)).
@@ -222,15 +240,19 @@ void climsr_tiff_read_batch_f32(const char** paths, int32_t n, float* out,
                                 int32_t h, int32_t w, int32_t n_threads,
                                 int32_t* status) {
     if (n_threads < 1) n_threads = 1;
-    std::vector<std::thread> workers;
-    const size_t tile = static_cast<size_t>(h) * w;
-    auto work = [&](int32_t tid) {
-        for (int32_t i = tid; i < n; i += n_threads) {
-            status[i] = climsr_tiff_read_f32(paths[i], out + tile * i, h, w);
-        }
-    };
-    for (int32_t t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
-    for (auto& th : workers) th.join();
+    try {
+        std::vector<std::thread> workers;
+        const size_t tile = static_cast<size_t>(h) * w;
+        auto work = [&](int32_t tid) {
+            for (int32_t i = tid; i < n; i += n_threads) {
+                status[i] = climsr_tiff_read_f32(paths[i], out + tile * i, h, w);
+            }
+        };
+        for (int32_t t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+        for (auto& th : workers) th.join();
+    } catch (...) {
+        for (int32_t i = 0; i < n; ++i) status[i] = 12;
+    }
 }
 
 }  // extern "C"

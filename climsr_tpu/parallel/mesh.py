@@ -71,14 +71,12 @@ def shard_leading_dim_if_divisible(pytree, mesh: Mesh, axis: str = "data", min_s
     """
     axis_size = mesh.shape[axis]
     repl = replicated(mesh)
-    sharded = NamedSharding(mesh, P(axis))
 
     def rule(leaf):
         if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.size >= min_size and leaf.shape[0] % axis_size == 0:
             return NamedSharding(mesh, P(*([axis] + [None] * (leaf.ndim - 1))))
         return repl
 
-    del sharded
     return jax.tree_util.tree_map(rule, pytree)
 
 

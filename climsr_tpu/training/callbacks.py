@@ -153,8 +153,11 @@ class LearningRateMonitor:
     """Logs the generator LR each validation (reference learning_rate_monitor.yaml)."""
 
     def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+        # global_step counts MICRO-batches; the schedule advances once per
+        # optimizer step (optax MultiSteps), so divide by the accum factor
+        opt_step = trainer.global_step // max(1, getattr(trainer, "_accum", 1))
         trainer.metric_logger.log_metrics(
-            {"lr-generator": float(trainer.g_schedule(trainer.global_step))}, trainer.global_step
+            {"lr-generator": float(trainer.g_schedule(opt_step))}, trainer.global_step
         )
 
 
@@ -193,7 +196,9 @@ class ModelPruningCallback:
 
     TPU-native analogue of ``pytorch_lightning.callbacks.ModelPruning`` with
     ``pruning_fn='l1_unstructured'`` (reference
-    ``conf/callbacks/model_pruning.yaml``): after every validation, the
+    ``conf/callbacks/model_pruning.yaml``): at every TRAIN-EPOCH END (PL's
+    ModelPruning hook point — before validation, so the epoch's val metrics
+    and the checkpoint they rank describe the pruned parameters), the
     smallest-|w| ``amount`` fraction of each remaining conv/dense kernel is
     zeroed; masks are cumulative across epochs (PL semantics, whose default
     ``amount=0.5`` is kept). Like PL — which re-applies masks on every
@@ -224,7 +229,7 @@ class ModelPruningCallback:
         if self.use_lottery_ticket_hypothesis:
             self._initial = jax.device_get(trainer._generator_params())
 
-    def on_validation_end(self, trainer, epoch: int, val_metrics: Dict[str, float]) -> None:
+    def on_train_epoch_end(self, trainer, epoch: int) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -315,10 +320,19 @@ CALLBACK_REGISTRY = {
 }
 
 
+# config names that are first-class Trainer features, not callback objects
+_TRAINER_LEVEL_CALLBACKS = {"early_stopping", "model_checkpoint"}
+
+
 def build_callbacks(names: Optional[List[str]]) -> List:
     out = []
     for name in names or []:
         if name in CALLBACK_REGISTRY:
             out.append(CALLBACK_REGISTRY[name]())
-        # early_stopping / model_checkpoint are first-class Trainer features
+        elif name not in _TRAINER_LEVEL_CALLBACKS:
+            # a typo'd callback silently vanishing costs a whole training run
+            raise KeyError(
+                f"Unknown callback {name!r}. Available: "
+                f"{sorted(CALLBACK_REGISTRY) + sorted(_TRAINER_LEVEL_CALLBACKS)}"
+            )
     return out

@@ -27,6 +27,10 @@ class CheckpointManager:
     def __init__(self, directory, save_top_k: int = 100, mode: str = "min"):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        # PL ModelCheckpoint semantics: save_top_k=0 disables checkpointing
+        # (save() becomes a no-op unless forced, e.g. the preemption save);
+        # save_top_k=-1 keeps everything.
+        self.save_top_k = int(save_top_k)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k if save_top_k > 0 else None,
             best_fn=(lambda m: m["hp_metric"]) if save_top_k > 0 else None,
@@ -34,7 +38,16 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any, hp_metric: Optional[float] = None, config: Optional[Dict] = None) -> None:
+    def save(
+        self,
+        step: int,
+        state: Any,
+        hp_metric: Optional[float] = None,
+        config: Optional[Dict] = None,
+        force: bool = False,
+    ) -> None:
+        if self.save_top_k == 0 and not force:
+            return
         metrics = {"hp_metric": float(hp_metric)} if hp_metric is not None else None
         self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         if config is not None and jax.process_index() == 0:

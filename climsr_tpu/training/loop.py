@@ -569,10 +569,22 @@ class Trainer:
                     logger.exception("Callback %s on_fit_start failed", type(cb).__name__)
         for epoch in range(max_epochs):
             self._staged("train_epoch", self.train_epoch, epoch)
+            # PL hook order: pruning & co. mutate weights at train-epoch end,
+            # BEFORE validation — so val metrics and the checkpoint ranked by
+            # them describe the same (pruned) parameters
+            for cb in self.callbacks:
+                hook = getattr(cb, "on_train_epoch_end", None)
+                if hook is not None:
+                    try:
+                        hook(self, epoch)
+                    except Exception:
+                        logger.exception("Callback %s on_train_epoch_end failed", type(cb).__name__)
             if self.preempted:
+                # force=True: the preemption save must land even when
+                # save_top_k=0 disabled regular checkpointing
                 self.ckpt.save(
                     self.global_step, self._host_state(), hp_metric=None,
-                    config=self.config_snapshot,
+                    config=self.config_snapshot, force=True,
                 )
                 self.ckpt.wait()
                 logger.warning(

@@ -231,7 +231,7 @@ def test_model_pruning_callback_magnitude_and_lottery():
 
     cb = ModelPruningCallback(amount=0.5)
     cb.on_fit_start(tr)
-    cb.on_validation_end(tr, 0, {})
+    cb.on_train_epoch_end(tr, 0)
     k1 = np.asarray(tr._params["conv"]["kernel"])
     sparsity1 = float((k1 == 0).mean())
     assert 0.45 <= sparsity1 <= 0.55
@@ -241,7 +241,7 @@ def test_model_pruning_callback_magnitude_and_lottery():
     assert np.asarray(tr._params["conv"]["bias"]).shape == (8,)
 
     # cumulative: second pass prunes half of the REMAINING weights
-    cb.on_validation_end(tr, 1, {})
+    cb.on_train_epoch_end(tr, 1)
     k2 = np.asarray(tr._params["conv"]["kernel"])
     assert float((k2 == 0).mean()) > sparsity1 + 0.15
 
@@ -260,7 +260,7 @@ def test_model_pruning_callback_magnitude_and_lottery():
     lt = ModelPruningCallback(amount=0.3, use_lottery_ticket_hypothesis=True)
     lt.on_fit_start(tr2)  # captures w0
     tr2._params = {"conv": {"kernel": jnp.asarray(w0 + 1.0), "bias": jnp.zeros((8,), jnp.float32)}}
-    lt.on_validation_end(tr2, 0, {})
+    lt.on_train_epoch_end(tr2, 0)
     k3 = np.asarray(tr2._params["conv"]["kernel"])
     alive3 = k3 != 0
     # survivors equal the INITIAL values, not the trained ones
