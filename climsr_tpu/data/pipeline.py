@@ -308,10 +308,15 @@ def device_prefetch(
         except Exception as e:  # propagate into the consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(sentinel)
-            except queue.Full:
-                pass
+            # the sentinel must be DELIVERED (a dropped sentinel deadlocks the
+            # consumer's q.get()); bounded-put loop like the items above, so a
+            # full queue with a vanished consumer still can't wedge this thread
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     try:

@@ -734,8 +734,11 @@ class Trainer:
                     out.get("val/rmse", float("nan")), out.get("val/psnr", float("nan")),
                     out.get("val/ssim", float("nan")))
         for cb in self.callbacks:
+            hook = getattr(cb, "on_validation_end", None)
+            if hook is None:
+                continue
             try:
-                cb.on_validation_end(self, epoch, out)
+                hook(self, epoch, out)
             except Exception as e:
                 # the sweep pruner ends a trial by raising through its report
                 # callback — that one must propagate, not be logged away

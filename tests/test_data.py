@@ -187,3 +187,23 @@ def test_device_prefetch_early_exit_releases_producer(data_root):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_device_prefetch_drains_more_batches_than_queue_depth(data_root):
+    """The completion sentinel must be delivered even when the queue is full
+    when the producer finishes (a dropped sentinel deadlocks the consumer)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from climsr_tpu.data.pipeline import device_prefetch
+    from climsr_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(8, ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    def it():
+        for i in range(10):  # > prefetch depth
+            yield {"x": np.full((8, 2), float(i), np.float32), "__valid__": 8}
+
+    seen = sum(1 for _ in device_prefetch(it(), sharding))
+    assert seen == 10
