@@ -50,20 +50,9 @@ def load_generator(pretrained_model: str, generator_type: str, generator_kwargs:
     if is_torch_checkpoint(pretrained_model):
         _, params = load_reference_generator_params(pretrained_model, generator_type)
     else:
-        restored = restore_pytree(pretrained_model)
-        if isinstance(restored, dict):
-            # key-presence, not truthiness (an empty 'params' dict must not
-            # fall through to the whole state)
-            if "params" in restored:
-                params = restored["params"]
-            elif "g_params" in restored:
-                params = restored["g_params"]
-            else:
-                params = restored
-        else:
-            params = getattr(restored, "params", None)
-            if params is None:
-                params = restored.g_params
+        from climsr_tpu.training.checkpoint import extract_generator_params
+
+        params = extract_generator_params(restore_pytree(pretrained_model))
     # the generator config group carries its own 'name' key — the positional
     # generator_type governs; passing both would TypeError
     kwargs = {k: v for k, v in (generator_kwargs or {}).items() if k != "name"}
@@ -142,10 +131,12 @@ def inference_on_full_images(
             # the reflect edge-padding draws from the shard's own rows, so the
             # halo cannot exceed the per-device slice minus one
             spatial_halo = min(spatial_halo, frames.shape[1] // n_dev - 1)
-            # srcnn consumes a pre-upscaled frame (HR in, HR out) -> its
-            # output/input row ratio is 1; fusion models upsample by
+            # pre-upscaled generators consume an HR-sized frame (HR in, HR
+            # out) -> output/input row ratio 1; the rest upsample by
             # scaling_factor and take HR-sized elevation/mask extras
-            out_scale = 1 if generator_type == consts.models.srcnn else scaling_factor
+            from climsr_tpu.models import PRE_UPSCALED_GENERATORS
+
+            out_scale = 1 if generator_type in PRE_UPSCALED_GENERATORS else scaling_factor
             scales = (1, out_scale, out_scale) if extras is not None else (1,)
             sharded_fn = spatial_sharded_apply_multi(
                 gen_fn, mesh, halo=spatial_halo, scale=out_scale, input_scales=scales

@@ -63,7 +63,11 @@ def scrape(url: str = PEAKS_URL) -> pd.DataFrame:
             lat, lon = float(m.group(1)), float(m.group(2))
             alt = None
             for td in tds[1:]:
-                am = re.search(r"(\d{3,4})", td.get_text(strip=True).replace("\xa0", ""))
+                text = td.get_text(strip=True).replace("\xa0", " ")
+                # anchor to the "NNNN m" altitude cell so decimal fragments of
+                # coordinates / reference numbers in other cells can't match;
+                # (?<![\d.,]) rejects the fractional part of e.g. "50.1234"
+                am = re.search(r"(?<![\d.,])(\d{3,4})(?:[.,]\d+)?\s*m\b", text)
                 if am:
                     alt = float(am.group(1))
                     break

@@ -94,6 +94,26 @@ def restore_pytree(path, template: Any = None) -> Any:
         return ckptr.restore(target, target=template)
 
 
+def extract_generator_params(restored: Any) -> Any:
+    """Pull the generator param tree out of a restored checkpoint object.
+
+    The state may be a TrainState dict ({'params': ...}), a GAN state
+    ({'g_params': ...}), a bare param tree, or a dataclass-like object with
+    those attributes. Key-presence checks, not truthiness: a present-but-empty
+    params dict must NOT fall through to the whole state
+    (opt_state/step/d_params)."""
+    if isinstance(restored, dict):
+        if "params" in restored:
+            return restored["params"]
+        if "g_params" in restored:
+            return restored["g_params"]
+        return restored
+    params = getattr(restored, "params", None)
+    if params is not None:
+        return params
+    return getattr(restored, "g_params", restored)
+
+
 def restore_generator_params(path, current_params: Any) -> Any:
     """Generator-only restore for fine-tuning (cli/train.py:112-121 analogue).
 
@@ -108,20 +128,7 @@ def restore_generator_params(path, current_params: Any) -> Any:
         # reference PL .ckpt: translate the torch weights, then graft as usual
         _, source = load_reference_generator_params(path)
     else:
-        restored = restore_pytree(path)
-        # state may be a TrainState dict ({'params': ...}) or a GAN state ({'g_params': ...})
-        if isinstance(restored, dict):
-            # key-presence checks, not truthiness: a present-but-empty params
-            # dict must NOT fall through to flattening the whole state
-            # (opt_state/step/d_params) as the graft source
-            if "params" in restored:
-                source = restored["params"]
-            elif "g_params" in restored:
-                source = restored["g_params"]
-            else:
-                source = restored
-        else:
-            source = getattr(restored, "params", restored)
+        source = extract_generator_params(restore_pytree(path))
 
     flat_src = dict(_flatten(source))
     out, n_copied, n_skipped = _graft(current_params, flat_src, prefix=())

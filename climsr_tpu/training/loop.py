@@ -273,9 +273,18 @@ class Trainer:
         self.g_schedule = g_schedule
 
         if self.is_gan:
-            # init at the discriminator's configured channel count — flax
-            # infers cin from the example input, not from the module field
-            d_in_ch = getattr(self.discriminator_cfg, "in_channels", 1) if self.discriminator_cfg else 1
+            # The GAN step always feeds the discriminator the generator's
+            # SR output / the HR target, so init with THAT channel count —
+            # flax infers cin from the example input, not from the module
+            # field, and a mismatched example would create params that crash
+            # at the first real step.
+            d_in_ch = getattr(generator_cfg, "out_channels", 1) or 1
+            cfg_in_ch = getattr(self.discriminator_cfg, "in_channels", d_in_ch) if self.discriminator_cfg else d_in_ch
+            if cfg_in_ch != d_in_ch:
+                raise ValueError(
+                    f"discriminator.in_channels={cfg_in_ch} does not match the generator "
+                    f"output channels ({d_in_ch}) the GAN step feeds it"
+                )
             hr_shape = (2, self.dm.train_dataset.hr_size, self.dm.train_dataset.hr_size, d_in_ch)
             d_vars = self.d_model.init(jax.random.PRNGKey(training_cfg.seed + 1), jnp.zeros(hr_shape), train=False)
             d_params = d_vars["params"]
@@ -641,16 +650,19 @@ class Trainer:
             if self.preempted:
                 break
             samples += n_in_batch
+            is_log_step = self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1
+            host = None
             if tc.terminate_on_nan:
                 # reference-parity per-STEP check (PL terminate_on_nan); costs
                 # one device sync per step — users opt in for the safety
-                host_nan = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                if any(np.isnan(v) for v in host_nan.values()):
-                    raise FloatingPointError(
-                        f"NaN in training metrics at step {self.global_step}: {host_nan}"
-                    )
-            if self.global_step % tc.log_every_n_steps == 0 or i == n_batches - 1:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                if any(np.isnan(v) for v in host.values()):
+                    raise FloatingPointError(
+                        f"NaN in training metrics at step {self.global_step}: {host}"
+                    )
+            if is_log_step:
+                if host is None:
+                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 dt = time.time() - t0
                 host["train/samples_per_sec"] = samples / max(dt, 1e-9)
                 # optax.MultiSteps advances the schedule once per *optimizer*

@@ -77,6 +77,31 @@ def test_cli_gan_fit_smoke(tiny_world, tmp_path):
     assert hp is not None and np.isfinite(hp)
 
 
+def test_gan_discriminator_channel_mismatch_rejected(tiny_world, tmp_path):
+    """D consumes the generator's 1-channel SR/HR; a config claiming
+    in_channels=3 would init params that crash at the first jitted step —
+    reject it at Trainer construction with a clear message instead."""
+    import pytest
+
+    from climsr_tpu.cli.train import main
+
+    with pytest.raises(ValueError, match="in_channels"):
+        main([
+            "experiment=esrgan_fine_tune_no_gan_pre_training",
+            f"datamodule.cfg.data_path={tiny_world}",
+            "datamodule.cfg.europe_extent=false",
+            "training.batch_size=4",
+            "training.model_weights=null",
+            "generator={name: esrgan, nf: 16, nb: 1, gc: 8}",
+            "discriminator={name: esrgan, out_channels: 16, in_channels: 3}",
+            "trainer.num_devices=1",
+            "trainer.max_epochs=1",
+            "trainer.limit_train_batches=1",
+            "print_config=false",
+            f"training.output_dir={tmp_path}",
+        ])
+
+
 def test_resume_from_checkpoint(tiny_world, tmp_path):
     from climsr_tpu.cli.train import main
 

@@ -223,6 +223,25 @@ def test_checkpoint_roundtrip_and_graft(tmp_path, rng):
     np.testing.assert_allclose(grafted["tail"]["kernel"], 1.0)
 
 
+def test_extract_generator_params_variants():
+    """Checkpoint layouts: TrainState dict, GAN dict, bare tree, attr object —
+    key-PRESENCE semantics (empty params must not fall through)."""
+    from climsr_tpu.training.checkpoint import extract_generator_params
+
+    tree = {"conv": {"kernel": 1}}
+    assert extract_generator_params({"params": tree, "opt_state": 0}) is tree
+    assert extract_generator_params({"g_params": tree, "d_params": {}}) is tree
+    assert extract_generator_params(tree) is tree
+    # present-but-empty params wins over the whole state
+    assert extract_generator_params({"params": {}, "step": 3}) == {}
+
+    class S:
+        params = None
+        g_params = tree
+
+    assert extract_generator_params(S()) is tree
+
+
 def test_rprop_applies_weight_decay_chain():
     """rprop must flow through the shared clip/decay chain like every other
     optimizer (it used to return early and drop them)."""
