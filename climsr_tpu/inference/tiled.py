@@ -28,7 +28,6 @@ Compiled shapes are cached per frame shape so the sweep compiles exactly once.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -113,7 +112,7 @@ class TiledSR:
             None if extras is None else tuple(jnp.asarray(e, self.compute_dtype) for e in extras)
         )
 
-    def _build(self, h: int, w: int, n_extras: int):
+    def _build(self, h: int, w: int):
         """One jit per frame shape: slice tiles -> generator -> feather-blend."""
         hp, ys = self._regular_grid(h)
         wp, xs = self._regular_grid(w)
@@ -195,16 +194,30 @@ class TiledSR:
         array without blocking — the building block of the pipelined e2e path
         (inference/run.py): the caller reads it back (``np.asarray``) on a
         writer thread while the device already runs the next frame."""
-        if frame.shape[0] < self.tile or frame.shape[1] < self.tile:
+        pre_padded = frame.shape[0] < self.tile or frame.shape[1] < self.tile
+        if pre_padded:
             frame, _ = pad_to_multiple(frame, self.tile)
         h, w = frame.shape[:2]
         if extras is not None:
             ex_dev = tuple(jnp.asarray(e, self.compute_dtype) for e in extras)
         else:
             ex_dev = self._extras_dev or ()
+        if pre_padded and ex_dev:
+            # the HR extras must track the pre-padded frame exactly (tile
+            # slicing in run() assumes ex.shape == frame.shape * scale); the
+            # in-jit regular-grid padding only covers the compiled shape
+            m = self.tile * self.scale
+
+            def _pad_hr(e):
+                ph, pw = (-e.shape[0]) % m, (-e.shape[1]) % m
+                if ph or pw:
+                    e = jnp.pad(e, ((0, ph), (0, pw)) + ((0, 0),) * (e.ndim - 2), mode="reflect")
+                return e
+
+            ex_dev = tuple(_pad_hr(e) for e in ex_dev)
         key = (h, w, frame.shape[-1] if frame.ndim == 3 else 1, len(ex_dev))
         if key not in self._compiled:
-            self._compiled[key] = self._build(h, w, len(ex_dev))
+            self._compiled[key] = self._build(h, w)
         return self._compiled[key](jnp.asarray(frame, self.compute_dtype), *ex_dev)
 
     def __call__(self, frame: np.ndarray, extras: Optional[Tuple[np.ndarray, ...]] = None) -> np.ndarray:
@@ -226,14 +239,27 @@ def whole_frame_sr(
     extras: Optional[Tuple[np.ndarray, ...]] = None,
     batch_size: int = 8,
     compute_dtype=jnp.bfloat16,
-    pad_multiple: int = 8,
 ) -> np.ndarray:
     """Batched whole-frame SR over a (N, H, W, C) month stack.
 
     Reference behavior (full 360x720 frames through the net) but batched to
-    fill the chip; one compile for the whole series.
+    fill the chip; one compile for the whole series. Frame-invariant extras
+    (elevation/mask rasters) are uploaded ONCE and broadcast to the batch
+    inside the jit — not re-shipped per chunk (a 1440-month sweep would
+    otherwise push ~GBs of duplicate rasters over the host link).
     """
-    fn = jax.jit(generator_fn)
+    if extras is not None:
+        ex_dev = tuple(jnp.asarray(e, compute_dtype) for e in extras)
+
+        def fn(fr, *exs):
+            return generator_fn(
+                fr, *(jnp.broadcast_to(e[None], (fr.shape[0],) + e.shape) for e in exs)
+            )
+
+    else:
+        ex_dev = ()
+        fn = generator_fn
+    fn = jax.jit(fn)
     n = frames.shape[0]
     outs = []
     for start in range(0, n, batch_size):
@@ -241,11 +267,6 @@ def whole_frame_sr(
         pad_n = batch_size - chunk.shape[0]
         if pad_n:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad_n, axis=0)])
-        args = [jnp.asarray(chunk, compute_dtype)]
-        if extras is not None:
-            for ex in extras:
-                ex_b = np.broadcast_to(ex[None], (batch_size,) + ex.shape)
-                args.append(jnp.asarray(ex_b, compute_dtype))
-        sr = np.asarray(fn(*args).astype(jnp.float32))
+        sr = np.asarray(fn(jnp.asarray(chunk, compute_dtype), *ex_dev).astype(jnp.float32))
         outs.append(sr[: batch_size - pad_n] if pad_n else sr)
     return np.concatenate(outs, axis=0)

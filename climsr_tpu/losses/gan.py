@@ -9,7 +9,6 @@ reference's *swapped* label assignment in the generator loss
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,3 @@ def relativistic_d_loss(score_real: jax.Array, score_fake: jax.Array) -> jax.Arr
     adv_rf = bce_with_logits(d_rf, real_labels)
     adv_fr = bce_with_logits(d_fr, fake_labels)
     return (adv_fr + adv_rf) / 2.0
-
-
-def gan_losses_match_shapes(score_real: jax.Array, score_fake: jax.Array) -> Tuple[int, int]:
-    return score_real.shape[0], score_fake.shape[0]

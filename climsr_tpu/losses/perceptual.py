@@ -48,10 +48,16 @@ def build_perceptual_loss(
     if variables is None:
         variables = try_load_pretrained(cutoff=cutoff)
     if variables is None:
+        consequence = (
+            "differentiable=True backpropagates through these RANDOM features — "
+            "generator gradients will differ materially from a pretrained-VGG run"
+            if differentiable
+            else "with the reference's no-grad semantics this only changes the "
+            "*logged* perceptual value, not training dynamics"
+        )
         logger.warning(
-            "No pretrained VGG19 weights found (weights/vgg19_features.npz or torch hub cache). "
-            "Using randomly-initialized features: with the reference's no-grad semantics this only "
-            "changes the *logged* perceptual value, not training dynamics."
+            "No pretrained VGG19 weights found (weights/vgg19_features.npz or torch hub "
+            "cache). Using randomly-initialized features: %s.", consequence
         )
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), compute_dtype))
 

@@ -59,8 +59,6 @@ def create_generator(name: str, dtype: Optional[Any] = None, **kwargs) -> Any:
     field_names = {f.name for f in cls.__dataclass_fields__.values()}
     kwargs = {k: v for k, v in kwargs.items() if k in field_names}
     if "use_pallas" in field_names and kwargs.get("use_pallas", None) is None:
-        import jax
-
         kwargs["use_pallas"] = jax.default_backend() == "tpu"
     return cls(dtype=dtype, **kwargs)
 
@@ -86,3 +84,16 @@ def apply_generator(
     if name in FUSION_GENERATORS:
         return module.apply(variables, x, elevation, mask)
     return module.apply(variables, x)
+
+
+def apply_generator_batch(name: str, module: Any, params: Dict, batch: Dict, compute_dtype) -> jax.Array:
+    """:func:`apply_generator` from a batch dict — the ONE place the training
+    tasks' (lr [+ elevation/mask]) unpacking-and-cast contract lives."""
+    B = consts.batch_items
+    x = batch[B.lr].astype(compute_dtype)
+    if name in FUSION_GENERATORS:
+        return module.apply(
+            {"params": params}, x,
+            batch[B.elevation].astype(compute_dtype), batch[B.mask].astype(compute_dtype),
+        )
+    return module.apply({"params": params}, x)

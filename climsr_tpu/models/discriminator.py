@@ -10,8 +10,11 @@ Reference quirks reproduced:
 
 - the defined-but-never-called ``AdaptiveAvgPool2d((512,512))`` is omitted
   (it is dead code in the reference ``forward``, ``discriminator.py:42-46``),
-- the flatten → Linear(8192, ...) is only shape-consistent for 128x128 inputs
-  (train tile size); other sizes raise at init, same as torch would.
+- the reference's flatten → Linear(8192, ...) is only shape-consistent for
+  128x128 inputs at out_channels=64 (torch errors on anything else); here
+  flax infers fc1 from the actual flatten size — other geometries work (the
+  test suite trains a 16-channel variant) but warn at trace time that they
+  cannot round-trip to the reference's fixed fc1.
 - first LeakyReLU per block uses torch's default slope 0.01 (``nn.LeakyReLU()``),
   the strided one as well; only the head convs use slope 0.2.
 """
@@ -52,6 +55,18 @@ class Discriminator(nn.Module):
 
         # torch flattens NCHW; transpose to match the weight ordering
         x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+        if x.shape[-1] != 8192:
+            # the reference hardcodes Linear(8192, 100) (only shape-consistent
+            # with 128px HR tiles at out_channels=64, where it would ERROR on
+            # any other size); flax infers fc1 from the actual flatten size,
+            # which is deliberate flexibility — but such a checkpoint cannot
+            # interop with the reference, so say so once at trace time
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Discriminator fc1 fan-in %d != 8192: valid here, but this geometry "
+                "cannot round-trip to the reference's fixed Linear(8192, 100)", x.shape[-1]
+            )
         x = TorchDense(100, dtype=self.dtype, name="fc1")(x)
         x = TorchDense(1, dtype=self.dtype, name="fc2")(x)
         return x

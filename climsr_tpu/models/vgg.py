@@ -34,8 +34,9 @@ _VGG19_CFG = [
 # torchvision features module index per conv (for state-dict key mapping)
 _TORCH_INDICES = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# NOTE: no ImageNet mean/std normalization anywhere — the reference perceptual
+# loss feeds raw repeated-grayscale tensors straight into vgg19.features
+# (climsr/losses/perceptual.py:26-33), and parity requires doing the same.
 
 
 class VGG19Features(nn.Module):
@@ -120,15 +121,35 @@ def _truncate(variables: Dict, cutoff: str) -> Dict:
     return {"params": {k: v for k, v in variables["params"].items() if k in keep}}
 
 
+def _covering(variables: Dict, cutoff: str, source) -> Optional[Dict]:
+    """Truncate to ``cutoff``; None (with a loud warning) if the source is
+    SHALLOWER than the cutoff — an incomplete tree would otherwise surface as
+    a cryptic flax missing-param error inside the first jitted GAN step."""
+    import logging
+
+    out = _truncate(variables, cutoff)
+    missing = [n for n in layers_through(cutoff) if n not in out["params"]]
+    if missing:
+        logging.getLogger(__name__).warning(
+            "VGG19 weights at %s stop before the requested cutoff %s (missing %s); "
+            "falling back as if no pretrained weights were available",
+            source, cutoff, ", ".join(missing),
+        )
+        return None
+    return out
+
+
 def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
     """Best effort: cached npz, then a locally-cached torchvision checkpoint.
 
     Only the layers at or before ``cutoff`` are returned — a shallow
-    perceptual cutoff neither loads nor carries the deeper conv params.
+    perceptual cutoff neither loads nor carries the deeper conv params. A
+    cached weight set shallower than ``cutoff`` is treated as unavailable
+    (warned), not returned incomplete.
     """
     npz = default_weights_path()
     if npz.exists():
-        return _truncate(load_npz(npz), cutoff)
+        return _covering(load_npz(npz), cutoff, npz)
     try:
         import torch
         from torch.hub import get_dir
@@ -137,7 +158,7 @@ def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
         candidates = sorted(hub.glob("vgg19-*.pth"))
         if candidates:
             sd = torch.load(candidates[0], map_location="cpu", weights_only=True)
-            return _truncate(load_torchvision_weights(sd), cutoff)
+            return _covering(load_torchvision_weights(sd), cutoff, candidates[0])
     except Exception:
         pass
     return None

@@ -41,6 +41,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def halo_exchange_pad(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """Pad the local H-shard (N, Hl, W, C) with neighbor rows; zeros at edges."""
+    if halo <= 0:  # x[:, -0:] would select the WHOLE shard, not zero rows
+        return x
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     # bottom rows of the previous shard arrive as our top halo
@@ -68,6 +70,8 @@ def sharded_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh, axis_name: str =
     shard_map slices it). kernel: (kh, kw, Cin, Cout) replicated.
     """
     kh = kernel.shape[0]
+    if kh % 2 == 0:
+        raise ValueError(f"sharded_conv2d requires an odd kernel height for 'same' geometry, got {kh}")
     halo = kh // 2
 
     def local(x_local, k):
@@ -84,6 +88,8 @@ def sharded_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh, axis_name: str =
 
 def _halo_pad_reflect(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """Local H-shard + ``halo`` neighbor rows (reflect at the frame edges)."""
+    if halo <= 0:  # x[:, -0:] / x[:, 1:1] slicing breaks down at halo=0
+        return x_local
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     from_prev = jax.lax.ppermute(x_local[:, -halo:], axis_name, [(i, (i + 1) % n) for i in range(n)])

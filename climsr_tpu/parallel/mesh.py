@@ -42,9 +42,7 @@ def create_mesh(
             spatial = last_axis_size
         else:
             # favor the data axis; model/spatial axis gets the remainder
-            import math
-
-            spatial = math.gcd(n, 2) if n % 2 == 0 else 1
+            spatial = 2 if n % 2 == 0 else 1
         shape = (n // spatial, spatial)
     else:
         raise ValueError(f"Unsupported mesh axes: {axes}")
@@ -180,15 +178,20 @@ def broadcast_string(s: str, max_len: int = 256) -> str:
     Used for values every process must agree on byte-for-byte, e.g. the
     timestamped run directory that orbax checkpoint coordination writes into.
     """
+    raw = s.encode()
+    if len(raw) > max_len:
+        # silent truncation would make processes write to a DIFFERENT path
+        # than configured (and can split a multi-byte UTF-8 char); check even
+        # single-host so the failure isn't deferred to the first pod run
+        raise ValueError(f"broadcast_string: {len(raw)}-byte string exceeds max_len={max_len}")
     if jax.process_count() == 1:
         return s
     from jax.experimental import multihost_utils
-
-    buf = np.zeros((max_len,), np.uint8)
-    raw = s.encode()[:max_len]
+    buf = np.zeros((max_len + 1,), np.uint8)  # +1: length-prefix-free, NUL-terminated
     buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return bytes(out[out != 0]).decode()
+    n_valid = int(np.argmin(out != 0)) if (out == 0).any() else len(out)
+    return bytes(out[:n_valid]).decode()
 
 
 def process_local_slice(n: int) -> slice:
@@ -198,6 +201,13 @@ def process_local_slice(n: int) -> slice:
     contributes ``n // process_count`` consecutive samples.
     """
     pc = jax.process_count()
+    if n % pc:
+        # silently dropping the remainder would assemble a global batch
+        # smaller than the one the compiled step expects
+        raise ValueError(
+            f"global batch axis of size {n} does not divide over {pc} processes; "
+            "drop_last/padding must be handled upstream (data/pipeline.py)"
+        )
     per = n // pc
     pi = jax.process_index()
     return slice(pi * per, (pi + 1) * per)

@@ -27,7 +27,6 @@ import optax
 
 import climsr_tpu.consts as consts
 from climsr_tpu.losses.gan import relativistic_d_loss, relativistic_g_loss
-from climsr_tpu.models import FUSION_GENERATORS
 from climsr_tpu.training.train_state import GANTrainState
 
 B = consts.batch_items
@@ -81,14 +80,9 @@ def make_gan_step(
         return params
 
     def forward_g(g_params, batch):
-        x = batch[B.lr].astype(compute_dtype)
-        if generator_type in FUSION_GENERATORS:
-            out = g_model.apply(
-                {"params": g_params}, x, batch[B.elevation].astype(compute_dtype), batch[B.mask].astype(compute_dtype)
-            )
-        else:
-            out = g_model.apply({"params": g_params}, x)
-        return out.astype(acc_dtype)
+        from climsr_tpu.models import apply_generator_batch
+
+        return apply_generator_batch(generator_type, g_model, g_params, batch, compute_dtype).astype(acc_dtype)
 
     def apply_d(d_params, d_bs, x):
         x = x.astype(compute_dtype)
@@ -207,14 +201,16 @@ def make_gan_val_losses(
 
     @jax.jit
     def val_losses(g_params, d_params, d_bs, batch) -> Dict[str, jax.Array]:
-        x = batch[B.lr].astype(compute_dtype)
-        if generator_type in FUSION_GENERATORS:
-            sr = g_model.apply(
-                {"params": g_params}, x, batch[B.elevation].astype(compute_dtype), batch[B.mask].astype(compute_dtype)
-            ).astype(jnp.float32)
-        else:
-            sr = g_model.apply({"params": g_params}, x).astype(jnp.float32)
+        from climsr_tpu.models import apply_generator_batch
+
+        sr = apply_generator_batch(generator_type, g_model, g_params, batch, compute_dtype).astype(jnp.float32)
         hr = batch[B.hr].astype(jnp.float32)
+        # Reference quirk (pl_gan.py:115-119 + task.py:287-289): validation's
+        # common_val_test_step zeroes ocean pixels of batch[hr] IN PLACE, so
+        # the subsequent loss_g sees the mask-zeroed hr — while metric_dict
+        # ['sr'] was cloned BEFORE the masking, so sr stays unmasked.
+        if B.mask in batch:
+            hr = jnp.where(batch[B.mask].astype(jnp.float32) > 0, hr, 0.0)
 
         variables = {"params": d_params}
         if d_bs is not None:

@@ -27,7 +27,6 @@ import optax
 import climsr_tpu.consts as consts
 from climsr_tpu.data.normalization import minmax_denormalize, zscore_denormalize
 from climsr_tpu.metrics.suite import compute_metric_suite
-from climsr_tpu.models import FUSION_GENERATORS
 from climsr_tpu.training.train_state import TrainState
 
 B = consts.batch_items
@@ -40,12 +39,9 @@ def pixel_loss_fn(generator_type: str) -> Callable:
 
 
 def _forward(model, generator_type: str, params, batch, compute_dtype):
-    x = batch[B.lr].astype(compute_dtype)
-    if generator_type in FUSION_GENERATORS:
-        elev = batch[B.elevation].astype(compute_dtype)
-        mask = batch[B.mask].astype(compute_dtype)
-        return model.apply({"params": params}, x, elev, mask)
-    return model.apply({"params": params}, x)
+    from climsr_tpu.models import apply_generator_batch
+
+    return apply_generator_batch(generator_type, model, params, batch, compute_dtype)
 
 
 def make_pretrain_step(

@@ -233,6 +233,43 @@ def test_tiled_sr_with_extras_matches_whole_frame(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_tiled_sr_undersized_frame_with_extras(rng):
+    """A frame smaller than the tile gets reflect-pre-padded host-side; the HR
+    extras must be padded consistently or the in-jit tile slicing mismatches."""
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr, elev, mask):
+        return nearest_upsample(lr[..., :1], 4) + elev * 0.5
+
+    h, w = 20, 40  # both below tile_size=32
+    frame = rng.normal(size=(h, w, 1)).astype(np.float32)
+    elev = rng.normal(size=(h * 4, w * 4, 1)).astype(np.float32)
+    mask = np.ones((h * 4, w * 4, 1), np.float32)
+    tiler = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    got = tiler(frame, extras=(elev, mask))
+    want = np.repeat(np.repeat(frame, 4, 0), 4, 1) + elev * 0.5
+    assert got.shape == (h * 4, w * 4, 1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_whole_frame_sr_uploads_extras_once(rng):
+    """Extras are broadcast to the batch INSIDE the jit from a single device
+    copy (not re-shipped per chunk), and numerics are unchanged."""
+    frames = rng.normal(size=(5, 16, 16, 1)).astype(np.float32)
+    elev = rng.normal(size=(64, 64, 1)).astype(np.float32)
+
+    def fn(lr, elev_b):
+        from climsr_tpu.ops.resize import nearest_upsample
+
+        assert elev_b.ndim == 4  # batched inside the jit
+        return nearest_upsample(lr[..., :1], 4) + elev_b
+
+    out = whole_frame_sr(fn, frames, extras=(elev,), batch_size=2, compute_dtype=jnp.float32)
+    want = np.repeat(np.repeat(frames[3], 4, 0), 4, 1) + elev
+    np.testing.assert_allclose(out[3], want, atol=1e-5)
+
+
 def test_spatial_shard_inference_matches_single_device(cruts_fixture):
     """inference.spatial_shard=true: whole-globe SR produced jointly by the
     8-device mesh matches the single-device whole-frame output — exactly for

@@ -44,6 +44,42 @@ def test_sharded_conv_5x5(mesh, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_sharded_conv_even_kernel_rejected(mesh, rng):
+    x = jnp.zeros((1, 16, 8, 2), jnp.float32)
+    k = jnp.zeros((2, 3, 2, 4), jnp.float32)
+    with pytest.raises(ValueError, match="odd kernel"):
+        sharded_conv2d(x, k, mesh)
+
+
+def test_spatial_sharded_apply_halo_zero(mesh, rng):
+    """halo=0 must degrade to plain sharding (no neighbor rows), not break on
+    the x[:, -0:] slicing pathology — this is reachable via run.py's
+    spatial_halo clamp when shards are 1 row tall."""
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    frame = jnp.asarray(rng.normal(size=(1, 64, 32, 1)).astype(np.float32))
+    fn = lambda x: nearest_upsample(x, 4)  # noqa: E731
+    got = spatial_sharded_apply(fn, mesh, halo=0, scale=4)(frame)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fn(frame)), atol=1e-6)
+
+
+def test_process_local_slice_rejects_non_divisible(monkeypatch):
+    from climsr_tpu.parallel import mesh as pm
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    assert pm.process_local_slice(9) == slice(0, 3)
+    with pytest.raises(ValueError, match="not divisible|does not divide"):
+        pm.process_local_slice(10)
+
+
+def test_broadcast_string_single_host_and_length_guard():
+    from climsr_tpu.parallel.mesh import broadcast_string
+
+    assert broadcast_string("runs/2026-08-18_00-00-00") == "runs/2026-08-18_00-00-00"
+    with pytest.raises(ValueError, match="exceeds max_len"):
+        broadcast_string("x" * 300)
+
+
 def test_spatial_sharded_apply_exact_for_local_fn(mesh, rng):
     # fn with small receptive field (identity upsample) -> sharded == direct
     from climsr_tpu.ops.resize import nearest_upsample

@@ -137,6 +137,44 @@ def test_gan_step_updates_both_and_tracks_bn(rng):
     assert not np.allclose(old_bn, jax.tree_util.tree_leaves(state.d_batch_stats)[0])
 
 
+def test_gan_val_losses_use_mask_zeroed_hr(rng):
+    """Reference quirk (pl_gan.py:115-119 + task.py:287-289): validation's
+    loss_g sees the mask-ZEROED hr (in-place mutation aliasing batch[hr]) but
+    the UNMASKED sr (cloned before masking)."""
+    from climsr_tpu.losses.gan import relativistic_g_loss
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.tasks.gan import make_gan_val_losses
+
+    g = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1)
+    d = create_discriminator("rfb_esrgan", in_channels=1)
+    batch = _tiny_batch(rng, hr_size=64, lr_size=16)
+    batch["mask"] = (np.asarray(batch["mask"]) * (rng.random(batch["mask"].shape) > 0.3)).astype(
+        np.float32
+    )
+    g_var = g.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    d_var = d.init(jax.random.PRNGKey(1), batch["hr"], train=False)
+
+    val = make_gan_val_losses(g, d, "esrgan", compute_dtype=jnp.float32)
+    got = val(g_var["params"], d_var["params"], d_var.get("batch_stats"), batch)
+
+    sr = np.asarray(
+        g.apply(g_var, jnp.asarray(batch["lr"]), jnp.asarray(batch["elevation"]), jnp.asarray(batch["mask"]))
+    )
+    hr_masked = np.where(np.asarray(batch["mask"]) > 0, np.asarray(batch["hr"]), 0.0)
+    want_pixel = float(np.mean(np.abs(sr - hr_masked)))
+    d_vars = {"params": d_var["params"]}
+    if d_var.get("batch_stats") is not None:
+        d_vars["batch_stats"] = d_var["batch_stats"]
+    score_real = d.apply(d_vars, jnp.asarray(hr_masked, jnp.float32), train=False)
+    score_fake = d.apply(d_vars, jnp.asarray(sr, jnp.float32), train=False)
+    want_adv = float(relativistic_g_loss(score_real, score_fake))
+    got_pixel = float(got["val/loss_G"] - 0.005 * got["val/adversarial_loss"]) / 0.01
+    np.testing.assert_allclose(float(got["val/adversarial_loss"]), want_adv, rtol=1e-4)
+    np.testing.assert_allclose(got_pixel, want_pixel, rtol=1e-4)
+    # and the quirk matters: unmasked hr gives a different pixel loss
+    assert abs(want_pixel - float(np.mean(np.abs(sr - np.asarray(batch["hr"]))))) > 1e-6
+
+
 def test_gan_perceptual_interval_dynamics_and_logging(rng):
     """task.perceptual_interval>1 must not change training dynamics under the
     default no-grad perceptual quirk — only the logged value (0.0 on skipped
