@@ -15,11 +15,37 @@ from climsr_tpu.inference.run import run_inference, transform_tiff_files_to_net_
 logger = logging.getLogger(__name__)
 
 
+def _require(cfg: InferenceConfig, *names: str) -> None:
+    """Fail fast on mandatory ('???') values instead of letting the literal
+    string propagate into file paths / the generator registry — and instead of
+    failing at the to_netcdf step AFTER the expensive inference pass."""
+    missing = [n for n in names if getattr(cfg, n, None) in (None, "???")]
+    if missing:
+        raise ValueError(
+            "Missing mandatory inference config value(s): "
+            + ", ".join(f"inference.{n}" for n in missing)
+        )
+
+
 def run(cfg: InferenceConfig, generator_kwargs: Optional[dict] = None) -> None:
+    # NOTE on reference parity: `temp_only` and `extract_polygon_extent` are
+    # declared-but-never-read knobs in the reference too (config.py:199,217 —
+    # no consumer anywhere); they are carried for config-surface parity only.
+    # Variable selection is cruts_variable (null = all CRU-TS variables),
+    # exactly like the reference CLI (cli/inference.py:17).
     variables = [cfg.cruts_variable] if cfg.cruts_variable else consts.cruts.variables_cts
+    if cfg.run_inference:
+        _require(cfg, "pretrained_model", "generator_type", "ds_path")
+    if cfg.to_netcdf:
+        _require(cfg, "extent_out_path_sr_nc")
     if cfg.run_inference:
         run_inference(cfg, variables, generator_kwargs)
     if cfg.to_netcdf:
+        # Documented deviation: the reference converts GeoTIFFs from
+        # `extent_out_path_sr` (cli/inference.py:30) — a directory NO reference
+        # code path ever writes (its producer, extract_polygon_extent, is a
+        # declared-but-never-read knob there). We convert this run's actual SR
+        # output instead, which is the only self-consistent pipeline.
         transform_tiff_files_to_net_cdf(
             cfg.inference_out_path,
             cfg.extent_out_path_sr_nc,

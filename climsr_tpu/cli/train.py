@@ -18,7 +18,7 @@ import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
-from climsr_tpu.config.compose import compose, default_config_dir
+from climsr_tpu.config.compose import ConfigError, compose, default_config_dir
 from climsr_tpu.config.schemas import (
     DiscriminatorConfig,
     GeneratorConfig,
@@ -59,7 +59,19 @@ class _TrialReportCallback:
             self._report(epoch, float(value))
 
 
+def _flatten_task_cfg(task_dict):
+    """Reference-compat aliasing: the reference's task group nests its knobs
+    under ``cfg`` (hydra ``task.cfg.*`` override paths); ours is flat — accept
+    both by folding task.cfg.* into task.* (the nested key wins)."""
+    if isinstance(task_dict, dict) and isinstance(task_dict.get("cfg"), dict):
+        return {**{k: v for k, v in task_dict.items() if k != "cfg"}, **task_dict["cfg"]}
+    return task_dict
+
+
 def run(cfg: Dict[str, Any], report_cb=None) -> Optional[float]:
+    from climsr_tpu.utils.core import extras
+
+    extras(ignore_warnings=bool(cfg.get("ignore_warnings", True)))  # reference utils.py:17
     if cfg.get("print_config", True):
         print_config(cfg)
 
@@ -70,9 +82,13 @@ def run(cfg: Dict[str, Any], report_cb=None) -> Optional[float]:
     prof = cfg.get("profiler")
     if prof and not trainer_cfg.profiler:
         trainer_cfg.profiler = prof.get("name") if isinstance(prof, dict) else str(prof)
-    task_cfg = from_dict(TaskConfig, cfg.get("task")) or TaskConfig()
+    task_cfg = from_dict(TaskConfig, _flatten_task_cfg(cfg.get("task"))) or TaskConfig()
     data_cfg = from_dict(SuperResolutionDataConfig, (cfg.get("datamodule") or {}).get("cfg"))
+    if data_cfg is None:
+        raise ConfigError("config group 'datamodule' resolved to null — select datamodule=<name>")
     generator_cfg = from_dict(GeneratorConfig, cfg.get("generator"))
+    if generator_cfg is None:
+        raise ConfigError("config group 'generator' resolved to null — select generator=<name>")
     discriminator_cfg = from_dict(DiscriminatorConfig, cfg.get("discriminator"))
     generator_cfg = infer_generator_config(generator_cfg, data_cfg)
 

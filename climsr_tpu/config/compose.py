@@ -199,7 +199,9 @@ def compose(
                         preloaded_globals.append(_load_group_file(config_dir, group, name))
     globally_provided = {k for layer in preloaded_globals for k in layer}
 
-    cfg: Dict[str, Any] = {}
+    # hydra '_self_-first' semantics: the root body is the BASE layer and the
+    # defaults-list groups merge over it (conf/config.yaml lists _self_ first)
+    cfg: Dict[str, Any] = copy.deepcopy(root)
     global_layers: List[Dict[str, Any]] = []
     for entry in defaults:
         if entry in (None, "_self_"):
@@ -241,8 +243,20 @@ def compose(
             else:
                 cfg[group] = _deep_merge(cfg.get(group) or {}, data)
 
-    cfg = _deep_merge(cfg, root)
     for layer in global_layers:
+        # An explicit CLI group selection outranks the experiment body's
+        # *selection* for that group (hydra semantics — the reference's
+        # experiments carry `override /generator: ...` defaults-list entries):
+        # `experiment=... generator=rcan` must yield a clean rcan config, not
+        # the experiment's esrgan body merged over it. Selection-style bodies
+        # are the dicts carrying a 'name'; value-style bodies (trainer
+        # tweaks etc.) keep hydra's value-merge behavior.
+        if selections:
+            layer = {
+                k: v
+                for k, v in layer.items()
+                if not (k in selections and isinstance(v, dict) and "name" in v)
+            }
         cfg = _deep_merge(cfg, layer)
     for key, value in value_overrides:
         _set_dotted(cfg, key, value)

@@ -23,11 +23,30 @@ def _default_resolution_list() -> List[str]:
     return [consts.world_clim.resolution_5m, consts.world_clim.resolution_2_5m]
 
 
-def from_dict(cls, data: Optional[Dict[str, Any]]):
-    """Build dataclass ``cls`` from a (possibly over-complete) dict, recursively."""
+# keys legitimately present in composed group dicts that are not dataclass
+# fields (reference-parity plumbing, not typos)
+_FROM_DICT_PASSTHROUGH = {"_target_", "defaults", "name"}
+
+
+def from_dict(cls, data: Optional[Dict[str, Any]], warn_unknown: bool = True):
+    """Build dataclass ``cls`` from a (possibly over-complete) dict, recursively.
+
+    Unknown keys are dropped — but WARNED about (``warn_unknown``), because a
+    silently-ignored key is how a misspelled CLI override (``trainer.max_stepz=7``)
+    turns into a full training run on defaults. Hydra's struct mode errors here;
+    a loud warning keeps the free-form groups (callbacks, logger) usable."""
     if data is None:
         return None
     fields = {f.name: f for f in dataclasses.fields(cls)}
+    if warn_unknown:
+        unknown = [k for k in data if k not in fields and k not in _FROM_DICT_PASSTHROUGH]
+        if unknown:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: ignoring unknown config key(s) %s — misspelled override?",
+                cls.__name__, ", ".join(sorted(unknown)),
+            )
     kwargs = {}
     for name, f in fields.items():
         if name not in data:

@@ -137,10 +137,11 @@ class CompareStatsResults:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6, 4))
-        ax.boxplot(
-            [[r.mean for r in self.nn_results], [r.mean for r in self.cru_results]],
-            tick_labels=["SR (nn)", "CRU-TS"],
-        )
+        # label via set_xticklabels: boxplot's label kwarg was renamed
+        # labels -> tick_labels in matplotlib 3.9, so neither spelling
+        # works across the versions the unpinned viz extra allows
+        ax.boxplot([[r.mean for r in self.nn_results], [r.mean for r in self.cru_results]])
+        ax.set_xticklabels(["SR (nn)", "CRU-TS"])
         if save_path:
             fig.savefig(save_path, bbox_inches="tight")
         plt.close(fig)

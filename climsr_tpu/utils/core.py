@@ -89,11 +89,11 @@ def enable_persistent_compilation_cache(cache_dir: Optional[str] = None) -> None
 
     import jax
 
-    try:
-        if jax.config.read("jax_compilation_cache_dir"):
-            return
-    except Exception:
-        pass
+    # jax.config.read() raises for contextmanager-backed flags on current JAX;
+    # the attribute read is the supported way and keeps this a true no-op when
+    # the user (or a shared prefilled cache) already configured a dir
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return
     cache_dir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "climsr_tpu", "xla_cache"
     )

@@ -168,5 +168,9 @@ class MetricLogger:
                     sink.finish()  # reference utils.py:116
                 elif kind == "mlflow":
                     sink.end_run()
+                elif kind == "neptune":
+                    sink.stop()  # flush the background sync thread
+                elif kind == "comet":
+                    sink.end()
             except Exception:  # teardown is best-effort
                 pass

@@ -94,3 +94,72 @@ def test_env_interpolation(monkeypatch):
     monkeypatch.setenv("CLIMSR_TEST_TOKEN", "sekrit")
     cfg = compose(CONF, overrides=["experiment=srcnn_pre_training", "logger.token=${env:CLIMSR_TEST_TOKEN}"])
     assert cfg["logger"]["token"] == "sekrit"
+
+
+def test_cli_group_selection_outranks_experiment_body():
+    """`experiment=... generator=rcan` must yield a clean rcan config (hydra
+    semantics: CLI group selection wins over the experiment's selection), not
+    the experiment's esrgan body merged over rcan's knobs."""
+    cfg = compose(CONF, overrides=["experiment=esrgan_pre_training", "generator=rcan"])
+    assert cfg["generator"]["name"] == "rcan"
+    assert cfg["generator"]["n_resgroups"] == 10  # rcan group file knobs intact
+    assert "nb" not in cfg["generator"]  # no esrgan leftovers
+    # non-selection experiment values (training etc.) still apply
+    assert cfg["task"]["name"] == "generator_pre_training"
+
+
+def test_root_body_is_base_layer():
+    """hydra `_self_`-first: group files override the root body, not vice
+    versa (root-level values only fill where no group provides them)."""
+    import yaml
+
+    root = yaml.safe_load((CONF / "config.yaml").read_text())
+    assert root["defaults"][0] == "_self_"  # the ordering this test pins
+    cfg = compose(CONF, overrides=["experiment=srcnn_pre_training"])
+    # root-only keys survive; group-provided keys come from the groups
+    assert cfg["print_config"] is True
+    assert cfg["trainer"]["max_epochs"] != "???"
+
+
+def test_from_dict_warns_on_unknown_keys(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        tc = from_dict(TrainerConfig, {"max_stepz": 7, "max_epochs": 3})
+    assert tc.max_epochs == 3
+    assert not hasattr(tc, "max_stepz") or tc.max_steps != 7
+    assert any("max_stepz" in r.message for r in caplog.records)
+
+
+def test_task_cfg_reference_alias_flattens():
+    from climsr_tpu.cli.train import _flatten_task_cfg
+
+    flat = _flatten_task_cfg(
+        {"name": "gan_training", "perceptual_loss_factor": 1.0, "cfg": {"perceptual_loss_factor": 0.005, "perceptual_cutoff": "conv2_2"}}
+    )
+    assert flat["perceptual_loss_factor"] == 0.005  # nested key wins
+    assert flat["perceptual_cutoff"] == "conv2_2"
+    assert flat["name"] == "gan_training"
+    assert "cfg" not in flat
+    assert _flatten_task_cfg(None) is None
+
+
+def test_inference_cli_missing_mandatory_values():
+    from climsr_tpu.cli.inference import _require
+    from climsr_tpu.config.schemas import InferenceConfig
+
+    cfg = InferenceConfig()
+    with pytest.raises(ValueError, match="inference.pretrained_model"):
+        _require(cfg, "pretrained_model", "ds_path")
+
+
+def test_train_cli_null_generator_rejected(tmp_path):
+    from climsr_tpu.cli.train import main
+
+    with pytest.raises(ConfigError, match="generator"):
+        main([
+            "experiment=srcnn_pre_training_debug",
+            "generator=null",
+            "print_config=false",
+            f"training.output_dir={tmp_path}",
+        ])

@@ -350,9 +350,11 @@ def test_third_party_logger_adapters_call_signatures(tmp_path, name, monkeypatch
         assert ("__getitem__", ("train/loss",), {}) in rec.calls
         append_calls = [c for c in rec.calls if c[0] == "append"]
         assert append_calls and all(c[2] == {"step": 3} for c in append_calls)
+        assert "stop" in called  # close() must flush the background sync thread
     elif name == "comet":
         log_call = next(c for c in rec.calls if c[0] == "log_metrics")
         assert log_call[1][0] == {"train/loss": 0.5, "val/rmse": 1.25}
+        assert "end" in called  # close() must end the experiment
 
 
 def test_advanced_profiler_per_op_table(tmp_path):
