@@ -216,7 +216,9 @@ class TrainerConfig:
     early_stopping_patience: Optional[int] = 100
     terminate_on_nan: bool = False
 
-    # profiler: None | "simple" | "jax" (xplane trace)
+    # profiler: None | "simple" (stage-time table) | "jax" (xplane trace) |
+    # "advanced"/"pytorch" (stage table + per-op device-time table from an
+    # xplane trace of the profiled epoch)
     profiler: Optional[str] = None
     profiler_dir: str = "profiles"
 
