@@ -142,6 +142,8 @@ def test_full_inference_flow_writes_geotiffs_and_netcdf(cruts_fixture, rng):
 
 
 def test_result_inspection_compare(cruts_fixture):
+    from dataclasses import replace
+
     from climsr_tpu.result_inspection.models import CompareStatsResults
 
     nn = read_climate_series(cruts_fixture["nc"], "tmp")
@@ -149,6 +151,14 @@ def test_result_inspection_compare(cruts_fixture):
     assert results.mae == 0.0 and results.rmse == 0.0
     frame = results.to_frame()
     assert len(frame) == 2
+
+    # non-identical pair with a KNOWN error: a constant +2 offset must give
+    # mae == rmse == 2 exactly (an always-zero or self-comparing compute fails)
+    shifted = replace(nn, data=nn.data + 2.0)
+    res2 = CompareStatsResults.compute(shifted, nn, lats=[0.0, 45.0], lons=[0.0, 90.0])
+    np.testing.assert_allclose(res2.mae, 2.0, rtol=1e-6)
+    np.testing.assert_allclose(res2.rmse, 2.0, rtol=1e-6)
+    np.testing.assert_allclose(res2.mse, 4.0, rtol=1e-6)
 
 
 @pytest.fixture()
@@ -253,9 +263,12 @@ def test_tiled_sr_undersized_frame_with_extras(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_whole_frame_sr_uploads_extras_once(rng):
+def test_whole_frame_sr_uploads_extras_once(rng, monkeypatch):
     """Extras are broadcast to the batch INSIDE the jit from a single device
-    copy (not re-shipped per chunk), and numerics are unchanged."""
+    copy — NOT re-shipped per chunk — and numerics are unchanged. The
+    host->device conversions are counted via a proxy over the module's jnp."""
+    import climsr_tpu.inference.tiled as tiled_mod
+
     frames = rng.normal(size=(5, 16, 16, 1)).astype(np.float32)
     elev = rng.normal(size=(64, 64, 1)).astype(np.float32)
 
@@ -265,9 +278,28 @@ def test_whole_frame_sr_uploads_extras_once(rng):
         assert elev_b.ndim == 4  # batched inside the jit
         return nearest_upsample(lr[..., :1], 4) + elev_b
 
+    counts = {"extra_uploads": 0}
+    real_jnp = tiled_mod.jnp
+
+    class _JnpProxy:
+        def __getattr__(self, name):
+            attr = getattr(real_jnp, name)
+            if name != "asarray":
+                return attr
+
+            def asarray(x, *a, **k):
+                if getattr(x, "shape", None) == elev.shape:
+                    counts["extra_uploads"] += 1
+                return attr(x, *a, **k)
+
+            return asarray
+
+    monkeypatch.setattr(tiled_mod, "jnp", _JnpProxy())
     out = whole_frame_sr(fn, frames, extras=(elev,), batch_size=2, compute_dtype=jnp.float32)
     want = np.repeat(np.repeat(frames[3], 4, 0), 4, 1) + elev
     np.testing.assert_allclose(out[3], want, atol=1e-5)
+    # 5 frames at batch_size=2 = 3 chunks; the raster must convert ONCE total
+    assert counts["extra_uploads"] == 1, counts
 
 
 def test_spatial_shard_inference_matches_single_device(cruts_fixture):

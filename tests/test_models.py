@@ -68,12 +68,15 @@ def test_drln_shapes():
 @pytest.mark.e2e
 def test_rfb_esrgan_generator_shapes():
     m = RFBESRGANGenerator(out_channels=1, num_rrdb_blocks=1, num_rrfdb_blocks=1)
-    x = jnp.zeros((1, 8, 8, 3))
+    # random input — a zeros input makes the tanh bound vacuous (every conv
+    # with zero-init bias outputs exactly 0 whether or not tanh exists)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 3)).astype(np.float32)) * 3.0
     var = m.init(_rng(), x)
     out = m.apply(var, x)
     assert out.shape == (1, 32, 32, 1)
-    # tanh output bounded
+    # tanh output bounded, and genuinely exercised (non-degenerate output)
     assert float(jnp.abs(out).max()) <= 1.0
+    assert float(jnp.abs(out).max()) > 0.0
 
 
 def test_discriminator_logits_shape():

@@ -86,17 +86,18 @@ def test_run_search_median_pruning(tmp_path):
         "sampler": {"name": "random", "seed": 3},
         "pruner": {"name": "median", "n_startup_trials": 2, "n_warmup_steps": 0},
     }
-    reports_seen = {}
+    attempts = {0: [], 1: []}
 
     def objective(overrides, report):
         x = int([o for o in overrides if o.startswith("x=")][0].split("=")[1])
-        n = 0
         # x=1 converges to 0.1; x=0 is always 10x worse -> gets pruned once
-        # two peer trials exist at the same report index
+        # two peer trials exist at the same report index. Track how far each
+        # run got BEFORE report() raises TrialPruned, so early-stop is
+        # directly observable (a swallowed TrialPruned would show n == 5).
+        attempts[x].append(0)
         for step in range(5):
-            n += 1
+            attempts[x][-1] = step + 1
             report(step, (1.0 if x else 10.0) / (step + 1))
-        reports_seen.setdefault(x, []).append(n)
         return (1.0 if x else 10.0) / 5
 
     best, trials = run_search([], cfg, objective, output_dir=str(tmp_path))
@@ -106,9 +107,11 @@ def test_run_search_median_pruning(tmp_path):
     assert all(t.params["x"] == 0 for t in pruned)
     assert all(t.value == t.intermediate[-1] for t in pruned)
     assert best is not None and best.params["x"] == 1
-    # the pruned objectives genuinely stopped early: no x=0 run past report 1
-    # once enough peers existed (reports_seen only records *completed* runs)
-    assert all(n == 5 for n in reports_seen.get(1, []))
+    # pruned objectives genuinely STOPPED EARLY: every PRUNED trial's run
+    # broke off before its 5th report; completed x=1 runs all reached 5
+    early = [n for n in attempts[0] if n < 5]
+    assert len(early) == len(pruned) and early, (attempts, states)
+    assert all(n == 5 for n in attempts[1])
 
 
 def test_run_search_resume_continues_numbering(tmp_path):
@@ -163,23 +166,33 @@ def test_build_callbacks_and_device_stats_monitor():
 
     class _Logger:
         logged = None
+        step = None
 
         def log_metrics(self, metrics, step):
             self.logged = metrics
+            self.step = step
+
+    class _FakeDev:
+        """CPU test devices expose no allocator stats, so fake them — the
+        payload assertions must run unconditionally or the test only checks
+        registry wiring."""
+
+        def memory_stats(self):
+            return {"bytes_in_use": 2**30, "peak_bytes_in_use": 2 * 2**30, "bytes_limit": 4 * 2**30}
 
     class _Trainer:
-        import jax as _jax
-
-        mesh = type("M", (), {"devices": np.asarray(_jax.devices())})()
+        mesh = type("M", (), {"devices": np.asarray([_FakeDev(), _FakeDev()])})()
         metric_logger = _Logger()
         global_step = 7
 
     mon = DeviceStatsMonitor()
     mon.on_validation_end(_Trainer(), epoch=0, val_metrics={})
     logged = _Trainer.metric_logger.logged
-    # CPU test devices may not expose allocator stats; if they do, keys must be well-formed
-    if logged is not None:
-        assert all(k.startswith("device_stats/dev") for k in logged)
+    assert logged is not None and _Trainer.metric_logger.step == 7
+    assert logged["device_stats/dev0/bytes_in_use_gib"] == 1.0
+    assert logged["device_stats/dev1/peak_bytes_in_use_gib"] == 2.0
+    assert logged["device_stats/dev0/utilization"] == 0.25
+    assert all(k.startswith("device_stats/dev") for k in logged)
 
 
 def test_metric_logger_from_config(tmp_path):

@@ -222,13 +222,27 @@ def test_cli_spatial_fit_europe_extent(tmp_path):
     assert "train/loss" in rows and "val/rmse" in rows
 
 
-def test_trainer_rejects_gan_spatial():
-    from climsr_tpu.training.loop import Trainer  # noqa: F401 — import check only
+def test_trainer_rejects_gan_spatial(tmp_path):
+    """GAN + spatial sharding must be rejected at Trainer construction
+    (loop.py guard): the discriminator and VGG graph consume whole frames, so
+    an H-sharded fused G+D step would silently train on partial frames."""
+    from climsr_tpu.cli.train import main
+    from climsr_tpu.data.synthetic import make_synthetic_dataset
 
-    # the guard itself is covered in the e2e config test below via ValueError;
-    # here just assert the config field exists and defaults off
-    from climsr_tpu.config.schemas import TrainerConfig
-
-    cfg = TrainerConfig()
-    assert cfg.spatial_shard_size == 0
-    assert cfg.spatial_shard_halo == 8
+    ds_root = make_synthetic_dataset(tmp_path / "ds", n_tiles_per_stage=(8, 2, 2))
+    with pytest.raises(ValueError, match="pixel-loss"):
+        main([
+            "experiment=esrgan_fine_tune_no_gan_pre_training",
+            f"datamodule.cfg.data_path={ds_root}",
+            "datamodule.cfg.europe_extent=false",
+            "training.batch_size=4",
+            "training.model_weights=null",
+            "generator={name: esrgan, nf: 8, nb: 1, gc: 4}",
+            "discriminator={name: esrgan, out_channels: 8}",
+            "task.cfg.perceptual_loss_factor=0.0",
+            "trainer.spatial_shard_size=2",
+            "trainer.max_epochs=1",
+            "trainer.limit_train_batches=1",
+            "print_config=false",
+            f"training.output_dir={tmp_path}",
+        ])

@@ -118,8 +118,20 @@ def test_resume_from_checkpoint(tiny_world, tmp_path):
     ]
     main(base + ["trainer.max_epochs=1"])
     ckpt_dir = glob.glob(f"{tmp_path}/outputs/runs/srcnn/*/checkpoints")[0]
+    first_steps = [int(p.split("/")[-1]) for p in glob.glob(f"{ckpt_dir}/*") if p.split("/")[-1].isdigit()]
+    assert first_steps, "first run wrote no checkpoint"
     hp = main(base + ["trainer.max_epochs=1", f"trainer.resume_from_checkpoint={ckpt_dir}"])
     assert hp is not None and np.isfinite(hp)
+    # the resumed run must CONTINUE the global step count, not retrain from 0
+    # (a restore that silently no-ops would produce the same step numbers)
+    second_dir = [d for d in glob.glob(f"{tmp_path}/outputs/runs/srcnn/*") if f"{d}/checkpoints" != ckpt_dir]
+    assert len(second_dir) == 1
+    second_steps = [
+        int(p.split("/")[-1])
+        for p in glob.glob(f"{second_dir[0]}/checkpoints/*")
+        if p.split("/")[-1].isdigit()
+    ]
+    assert second_steps and max(second_steps) > max(first_steps), (first_steps, second_steps)
 
 
 def test_cli_lr_finder(tiny_world, tmp_path):
@@ -184,6 +196,28 @@ def test_preemption_checkpoint_on_sigterm(tiny_world, tmp_path):
     assert len(run_dirs) == 1
     ckpts = [p for p in glob.glob(f"{run_dirs[0]}/checkpoints/*") if p.split("/")[-1].isdigit()]
     assert ckpts, "preemption checkpoint written"
+    # ...and training was genuinely CUT SHORT: the SIGTERM landed during
+    # epoch 0, so at most ~2 of the 50 requested epochs may have run (the
+    # preemption flag is checked at step/epoch boundaries). A handler that
+    # sets a flag nobody reads would train all 50 epochs and fail here.
+    import csv as _csv
+    import os.path as _osp
+
+    # the run stops so early that metrics.csv may not even be flushed
+    # (log_every_n_steps=50 default); a missing file = nothing ran
+    max_step = 0
+    if _osp.exists(f"{run_dirs[0]}/metrics.csv"):
+        with open(f"{run_dirs[0]}/metrics.csv") as f:
+            for row in _csv.reader(f):
+                if row and row[0].isdigit():
+                    max_step = max(max_step, int(row[0]))
+    # the preemption checkpoint itself records the step it stopped at
+    ckpt_steps = [int(p.split("/")[-1]) for p in ckpts]
+    steps_per_epoch = 16 // 8  # 16 train tiles / batch_size 8
+    assert max(ckpt_steps + [max_step]) <= 2 * steps_per_epoch, (
+        f"preemption did not stop training (checkpoints at {ckpt_steps}, "
+        f"metrics reached step {max_step} of {50 * steps_per_epoch} requested)"
+    )
 
 
 def test_deterministic_training_is_bit_stable(tiny_world, tmp_path):
