@@ -196,27 +196,30 @@ def main() -> None:
     )
 
 
-def _bench_train_guarded(budget_s: int = 900) -> None:
-    """Train bench in a subprocess with a hard time budget.
+def _run_guarded(flag: str, budget_s: int, what: str) -> bool:
+    """Run one bench stage as a subprocess with a hard time budget.
 
-    The XLA-trunk bs=192 backward can compile for tens of minutes on the
-    remote TPU compiler, and a blocking compile call can't be interrupted by
-    an in-process signal handler (CPython defers handlers until the C++ call
-    returns). A subprocess CAN be killed, so the headline inference metric is
-    guaranteed to print even if the train-step compile wedges. Runs before
-    the parent touches the TPU, so there is never device contention."""
+    Two reasons a stage can wedge forever: the remote TPU compiler can take
+    tens of minutes and a blocking compile call can't be interrupted by an
+    in-process signal handler (CPython defers handlers until the C++ call
+    returns), and a DOWN device tunnel hangs even `jax.devices()`. A
+    subprocess CAN be killed; its stdout/stderr pass straight through, so the
+    JSON-line contract is unchanged. Stages run sequentially — never two TPU
+    jobs at once."""
     import subprocess
 
     try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--train-only"], timeout=budget_s, check=False
-        )
+        proc = subprocess.run([sys.executable, __file__, flag], timeout=budget_s, check=False)
         if proc.returncode != 0:
-            print(f"# train-step bench skipped: exit code {proc.returncode}", file=sys.stderr)
+            print(f"# {what} bench failed: exit code {proc.returncode}", file=sys.stderr)
+            return False
+        return True
     except subprocess.TimeoutExpired:
-        print(f"# train-step bench skipped: exceeded {budget_s}s (compile)", file=sys.stderr)
+        print(f"# {what} bench skipped: exceeded {budget_s}s (compile or device tunnel down)", file=sys.stderr)
+        return False
     except Exception as e:
-        print(f"# train-step bench skipped: {e}", file=sys.stderr)
+        print(f"# {what} bench skipped: {e}", file=sys.stderr)
+        return False
 
 
 if __name__ == "__main__":
@@ -226,6 +229,10 @@ if __name__ == "__main__":
     enable_persistent_compilation_cache()
     if "--train-only" in sys.argv:
         bench_train_step()
-    else:
-        _bench_train_guarded()
+    elif "--inference-only" in sys.argv:
         main()
+    else:
+        _run_guarded("--train-only", 900, "train-step")
+        ok = _run_guarded("--inference-only", 2400, "inference")
+        if not ok:
+            sys.exit(1)  # no headline JSON was printed — fail loudly, never hang
