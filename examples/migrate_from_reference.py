@@ -16,7 +16,11 @@ one-time conversion and inspection.
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
+
+# runnable as `python examples/migrate_from_reference.py` without installing
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
@@ -27,6 +31,10 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # checkpoint conversion is host-side work (tree surgery + one tiny forward
+    # for verification) — pin to CPU so it runs without touching the TPU
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from climsr_tpu.interop.torch_import import load_reference_generator_params
@@ -38,15 +46,38 @@ def main() -> None:
 
     first = {"srcnn": "conv1", "esrgan": "conv_first", "rcan": "head", "drln": "head", "rfb_esrgan": "conv1"}
     in_ch = int(params[first[gtype]]["Conv_0"]["kernel"].shape[2])
-    model = create_generator(gtype, dtype=jnp.bfloat16, in_channels=in_ch)
+    # Build the model at the CHECKPOINT's architecture, not class defaults —
+    # flax apply silently ignores extra params, so a default-sized model would
+    # print "forward OK" for an oversized checkpoint while using only part of
+    # it. For ESRGAN the trunk hyper-parameters are inferable from the tree.
+    kwargs = {"in_channels": in_ch}
+    if gtype == "esrgan":
+        kwargs["nb"] = sum(1 for k in params if k.startswith("RRDB_trunk_"))
+        kwargs["nf"] = int(params["conv_first"]["Conv_0"]["kernel"].shape[3])
+        kwargs["gc"] = int(params["RRDB_trunk_0"]["RDB1"]["conv1"]["Conv_0"]["kernel"].shape[3])
+        kwargs["out_channels"] = int(params["srcnn"]["conv3"]["Conv_0"]["kernel"].shape[3])
+    model = create_generator(gtype, dtype=jnp.bfloat16, **kwargs)
     lr_size = 128 if gtype in PRE_UPSCALED_GENERATORS else 32
     lr = jnp.zeros((1, lr_size, lr_size, in_ch), jnp.bfloat16)
+    inputs = (lr,)
     if gtype in FUSION_GENERATORS:
         hr = jnp.zeros((1, lr_size * 4, lr_size * 4, 1), jnp.bfloat16)
-        out = model.apply({"params": params}, lr, hr, hr)
-    else:
-        out = model.apply({"params": params}, lr)
-    print(f"forward OK: output {out.shape} {out.dtype}")
+        inputs = (lr, hr, hr)
+    # exact structure + shape verification (every imported leaf must have a
+    # home and every model leaf must be covered) BEFORE the forward pass
+    from climsr_tpu.interop.torch_import import _verify_against_model
+
+    try:
+        _verify_against_model(params, model, inputs, gtype)
+    except ValueError as e:
+        raise SystemExit(
+            f"{e}\n(The checkpoint was trained at a non-default architecture — "
+            f"for non-esrgan families pass the matching sizes via the generator "
+            f"config when using the CLIs.)"
+        )
+    out = model.apply({"params": params}, *inputs)
+    print(f"verified: all {len(jax.tree_util.tree_leaves(params))} leaves map 1:1; "
+          f"forward OK: output {out.shape} {out.dtype}")
 
     if args.out:
         import orbax.checkpoint as ocp

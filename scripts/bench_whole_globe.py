@@ -66,12 +66,16 @@ def main() -> None:
     model = create_generator(
         "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=True
     )
+    # init at a small dummy tile: conv params are shape-independent, and an
+    # eager whole-frame 360x720 init forward would add minutes of per-op
+    # compile + transfer over the device tunnel before the timed section
     item = ds[0]
+    in_ch = item["lr"].shape[-1]
     params = model.init(
         jax.random.PRNGKey(0),
-        jnp.zeros((1,) + item["lr"].shape, jnp.bfloat16),
-        jnp.zeros((1,) + item["elevation"].shape, jnp.bfloat16),
-        jnp.zeros((1,) + item["mask"].shape, jnp.bfloat16),
+        jnp.zeros((1, 32, 32, in_ch), jnp.bfloat16),
+        jnp.zeros((1, 128, 128, 1), jnp.bfloat16),
+        jnp.ones((1, 128, 128, 1), jnp.bfloat16),
     )["params"]
 
     out_dir = root / "sr" / "tmp"

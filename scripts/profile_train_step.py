@@ -7,7 +7,10 @@ bf16 — the reference's pre-training config) and prints the aggregated per-op
 device-time table (utils/profiling.py). Drives the round-3 decision on where
 the training-step MFU gap lives (trunk backward vs HR-scale head).
 
-Usage: PYTHONPATH=/root/.axon_site python scripts/profile_train_step.py [out_dir]
+Usage (from the repo root — climsr_tpu is not pip-installed, so the repo
+must be on the path alongside the TPU plugin site dir):
+
+    PYTHONPATH=/root/.axon_site:. python scripts/profile_train_step.py [out_dir]
 """
 from __future__ import annotations
 
