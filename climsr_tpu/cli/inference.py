@@ -35,7 +35,16 @@ def run(cfg: InferenceConfig, generator_kwargs: Optional[dict] = None) -> None:
     # exactly like the reference CLI (cli/inference.py:17).
     variables = [cfg.cruts_variable] if cfg.cruts_variable else consts.cruts.variables_cts
     if cfg.run_inference:
-        _require(cfg, "pretrained_model", "generator_type", "ds_path")
+        # the input-source knob depends on the dataset mode: the NetCDF path
+        # reads ds_path, the (default) GeoTIFF path reads tiff_dir and never
+        # touches ds_path (run_inference branches on use_netcdf_datasets)
+        source = "ds_path" if cfg.use_netcdf_datasets else "tiff_dir"
+        _require(
+            cfg, "pretrained_model", "generator_type", source,
+            "elevation_file", "land_mask_file", "min_max_lookup", "inference_out_path",
+        )
+        if not cfg.normalize:  # z-score mode reads the stats feather up front
+            _require(cfg, "zscore_lookup")
     if cfg.to_netcdf:
         _require(cfg, "extent_out_path_sr_nc")
     if cfg.run_inference:

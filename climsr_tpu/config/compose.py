@@ -203,6 +203,10 @@ def compose(
     # defaults-list groups merge over it (conf/config.yaml lists _self_ first)
     cfg: Dict[str, Any] = copy.deepcopy(root)
     global_layers: List[Dict[str, Any]] = []
+    # group -> the `name:` VALUE of the CLI-selected group file (file stems
+    # and name values are different namespaces: discriminator=
+    # rfb_esrgan_discriminator selects a file whose name value is rfb_esrgan)
+    selected_name_values: Dict[str, Any] = {}
     for entry in defaults:
         if entry in (None, "_self_"):
             continue
@@ -211,6 +215,8 @@ def compose(
         for group, name in entry.items():
             name = selections.get(group, name)
             if name is None:
+                if group in selections:
+                    selected_name_values[group] = None
                 cfg.setdefault(group, None)
                 continue
             if name == "???":
@@ -237,6 +243,8 @@ def compose(
                 cfg[group] = merged
                 continue
             data = _load_group_file(config_dir, group, name)
+            if group in selections:
+                selected_name_values[group] = data.get("name", name) if isinstance(data, dict) else name
             if group in GLOBAL_PACKAGE_GROUPS:
                 global_layers.append(data)
                 cfg.setdefault(group, name)
@@ -252,10 +260,18 @@ def compose(
         # are the dicts carrying a 'name'; value-style bodies (trainer
         # tweaks etc.) keep hydra's value-merge behavior.
         if selections:
+            # ...but re-selecting the SAME name the experiment already picked
+            # is a no-op, not an opt-out: the experiment's value tweaks for
+            # that group (e.g. discriminator.in_channels) must survive.
             layer = {
                 k: v
                 for k, v in layer.items()
-                if not (k in selections and isinstance(v, dict) and "name" in v)
+                if not (
+                    k in selections
+                    and isinstance(v, dict)
+                    and "name" in v
+                    and selected_name_values.get(k, selections[k]) != v.get("name")
+                )
             }
         cfg = _deep_merge(cfg, layer)
     for key, value in value_overrides:

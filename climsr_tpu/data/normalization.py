@@ -158,13 +158,19 @@ class StandardScaler(Scaler):
     missing_indicator: Optional[float] = None
     nan_substitution: Optional[float] = None
 
-    def _normalize(self, arr):
+    def _normalize(self, arr, missing_indicator=None):
+        # Per-call override, mirroring MinMaxScaler. The reference's
+        # StandardScaler._normalize takes no such argument, which makes its
+        # GeoTIFF inference dataset crash with a TypeError in standardize mode
+        # (geo_tiff_inference_dataset.py:79-81 passes missing_indicator
+        # unconditionally); we accept it so both modes treat elevation voids
+        # (-32768) as missing instead of ~-100-sigma outliers.
         return zscore_normalize(
             arr,
             mean=self.mean,
             std=self.std,
             eps=self.eps,
-            missing_indicator=self.missing_indicator,
+            missing_indicator=self.missing_indicator if missing_indicator is None else missing_indicator,
             nan_substitution=self.nan_substitution,
         )
 

@@ -209,9 +209,13 @@ class GeoTiffInferenceDataset:
 
         elevation_arr = read_raster(elevation_file).astype(np.float32)
         elevation_arr = np.where(self.mask_np, elevation_arr, np.nan)
+        # both modes: SRTM void pixels (-32768) are missing data, not values —
+        # without this the z-score path would feed ~-100-sigma outliers to the
+        # convs (the reference crashes outright here in standardize mode; see
+        # StandardScaler._normalize)
         elevation_arr = self.elevation_scaler.normalize(
             elevation_arr, missing_indicator=consts.world_clim.elevation_missing_indicator
-        ) if not self.standardize else self.elevation_scaler.normalize(elevation_arr)
+        )
         # NaNs (ocean/Antarctica) must not reach the convs; z-score leaves
         # them in place (0.0 nan_substitution is a reference-quirk no-op)
         elevation_arr = np.nan_to_num(elevation_arr, nan=0.0)

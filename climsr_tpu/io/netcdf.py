@@ -40,6 +40,9 @@ def _decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     # CF origins are often not zero-padded — CRU-TS 4.05 ships
     # "days since 1900-1-1", which np.datetime64 rejects; normalize to ISO
     date_str = parts[1].strip().split()[0]
+    # a time-of-day may ride on the date with an ISO 'T' instead of a space
+    # ("days since 1900-01-01T00:00:00") — truncate it like the space form
+    date_str = date_str.split("T")[0]
     ymd = date_str.split("-")
     if len(ymd) == 3:
         date_str = f"{int(ymd[0]):04d}-{int(ymd[1]):02d}-{int(ymd[2]):02d}"

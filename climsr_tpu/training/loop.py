@@ -580,14 +580,19 @@ class Trainer:
             self._staged("train_epoch", self.train_epoch, epoch)
             # PL hook order: pruning & co. mutate weights at train-epoch end,
             # BEFORE validation — so val metrics and the checkpoint ranked by
-            # them describe the same (pruned) parameters
-            for cb in self.callbacks:
-                hook = getattr(cb, "on_train_epoch_end", None)
-                if hook is not None:
-                    try:
-                        hook(self, epoch)
-                    except Exception:
-                        logger.exception("Callback %s on_train_epoch_end failed", type(cb).__name__)
+            # them describe the same (pruned) parameters. A preempted epoch is
+            # NOT an epoch end (PL never fires epoch-end hooks for an
+            # interrupted epoch): weight-mutating hooks like pruning must not
+            # advance their schedule on a partial epoch right before the
+            # forced checkpoint, or the resumed run is one step ahead.
+            if not self.preempted:
+                for cb in self.callbacks:
+                    hook = getattr(cb, "on_train_epoch_end", None)
+                    if hook is not None:
+                        try:
+                            hook(self, epoch)
+                        except Exception:
+                            logger.exception("Callback %s on_train_epoch_end failed", type(cb).__name__)
             if self.preempted:
                 # force=True: the preemption save must land even when
                 # save_top_k=0 disabled regular checkpointing

@@ -108,6 +108,38 @@ def test_cli_group_selection_outranks_experiment_body():
     assert cfg["task"]["name"] == "generator_pre_training"
 
 
+def test_cli_same_name_selection_keeps_experiment_body():
+    """Re-selecting the name the experiment already picked is a no-op: the
+    experiment's value tweaks for that group (discriminator.in_channels=1
+    here) must survive, unlike a genuine switch to a different config."""
+    exp = "experiment=esrgan_fine_tune_no_gan_pre_training"
+    base = compose(CONF, overrides=[exp])
+    # NB the group FILE is rfb_esrgan_discriminator; its `name:` value is
+    # rfb_esrgan — the same model the experiment body picks
+    cfg = compose(CONF, overrides=[exp, "discriminator=rfb_esrgan_discriminator"])
+    assert base["discriminator"]["in_channels"] == 1
+    assert cfg["discriminator"] == base["discriminator"]
+    # and the generator case, where file stem == name value
+    cfg2 = compose(CONF, overrides=[exp, "generator=esrgan"])
+    assert cfg2["generator"] == base["generator"]
+
+
+def test_inference_cli_mode_aware_source_validation():
+    """GeoTIFF mode (the default) must demand tiff_dir — the knob it actually
+    reads — and not ds_path, which only the NetCDF mode uses; and vice versa."""
+    from climsr_tpu.cli.inference import run
+    from climsr_tpu.config.schemas import InferenceConfig
+
+    with pytest.raises(ValueError) as ei:
+        run(InferenceConfig(run_inference=True, use_netcdf_datasets=False, to_netcdf=False))
+    assert "inference.tiff_dir" in str(ei.value)
+    assert "ds_path" not in str(ei.value)
+    with pytest.raises(ValueError) as ei:
+        run(InferenceConfig(run_inference=True, use_netcdf_datasets=True, to_netcdf=False))
+    assert "inference.ds_path" in str(ei.value)
+    assert "tiff_dir" not in str(ei.value)
+
+
 def test_root_body_is_base_layer():
     """hydra `_self_`-first: group files override the root body, not vice
     versa (root-level values only fill where no group provides them)."""

@@ -226,6 +226,46 @@ def test_geotiff_inference_dataset_and_flow(europe_fixture, rng):
     assert np.isnan(arr[:8]).all()  # ocean masked
 
 
+def test_geotiff_dataset_standardize_elevation_voids(europe_fixture, rng):
+    """SRTM void pixels (-32768) on land must come out of z-score
+    normalization as 0 (missing), not ~-330-sigma finite outliers that the
+    NaN guard can't catch. (The reference crashes outright here: its
+    StandardScaler._normalize takes no missing_indicator argument but the
+    GeoTIFF dataset passes one unconditionally.)"""
+    import pandas as pd
+
+    import climsr_tpu.consts as consts
+    from climsr_tpu.inference.datasets import GeoTiffInferenceDataset
+
+    D = consts.datasets_and_preprocessing
+    S = consts.stats
+    fx = europe_fixture
+    elev, prof = read_geotiff(fx["tmp_path"] / "elev.tif")
+    elev[32, 32] = consts.world_clim.elevation_missing_indicator  # land void
+    write_geotiff(fx["tmp_path"] / "elev.tif", elev, prof)
+    stats = pd.DataFrame(
+        [
+            {D.variable: "tmp", S.mean: 10.0, S.std: 5.0},
+            {D.variable: consts.world_clim.elev, S.mean: 500.0, S.std: 100.0},
+        ]
+    )
+    ds = GeoTiffInferenceDataset(
+        tiff_dir=str(fx["tiff_dir"]),
+        tiff_df=fx["df"],
+        variable="tmp",
+        elevation_file=str(fx["tmp_path"] / "elev.tif"),
+        land_mask_file=str(fx["tmp_path"] / "mask.tif"),
+        generator_type="esrgan",
+        hr_size=fx["hr"],
+        normalize=False,
+        standardize=True,
+        standardize_stats=stats,
+    )
+    e = np.asarray(ds.elevation_data)
+    assert np.isfinite(e).all()
+    assert abs(float(e[32, 32, 0])) < 6.0, "void leaked through as a -330-sigma value"
+
+
 def test_tiled_sr_with_extras_matches_whole_frame(rng):
     """Overlap-tiled SR with HR-space conditioning == whole-frame for a local fn."""
     from climsr_tpu.inference.tiled import TiledSR

@@ -295,3 +295,7 @@ def test_cf_time_non_zero_padded_origin():
     assert str(t[0]) == "1900-01-01" and str(t[1]) == "1900-02-01"
     t2 = _decode_cf_time(np.array([1.0]), "months since 1901-1-16 00:00:00")
     assert str(t2[0]).startswith("1901-02")
+    # ISO 'T'-separated time-of-day must truncate like the space form, not
+    # blow up int() during zero-padding
+    t3 = _decode_cf_time(np.array([0.0]), "days since 1900-01-01T00:00:00")
+    assert str(t3[0]) == "1900-01-01"

@@ -168,10 +168,19 @@ def test_preemption_checkpoint_on_sigterm(tiny_world, tmp_path):
 
     orig_train_epoch = loop_mod.Trainer.train_epoch
     fired = {"n": 0}
+    epoch_end_calls: list = []
+
+    class _EpochEndProbe:
+        # PL semantics: a preemption-truncated epoch is NOT an epoch end —
+        # weight-mutating hooks (pruning) must not advance their schedule on
+        # the partial epoch right before the forced checkpoint
+        def on_train_epoch_end(self, trainer, epoch):
+            epoch_end_calls.append(epoch)
 
     def sabotaged(self, epoch):
         if fired["n"] == 0:
             fired["n"] += 1
+            self.callbacks.append(_EpochEndProbe())
             os.kill(os.getpid(), signal.SIGTERM)
         return orig_train_epoch(self, epoch)
 
@@ -192,6 +201,9 @@ def test_preemption_checkpoint_on_sigterm(tiny_world, tmp_path):
         loop_mod.Trainer.train_epoch = orig_train_epoch
 
     assert fired["n"] == 1
+    assert epoch_end_calls == [], (
+        f"on_train_epoch_end fired for a preemption-truncated epoch: {epoch_end_calls}"
+    )
     run_dirs = glob.glob(f"{tmp_path}/outputs/runs/srcnn/*")
     assert len(run_dirs) == 1
     ckpts = [p for p in glob.glob(f"{run_dirs[0]}/checkpoints/*") if p.split("/")[-1].isdigit()]
