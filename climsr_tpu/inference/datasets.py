@@ -94,10 +94,17 @@ class CRUTSInferenceDataset:
         self.mask_np = ~np.isnan(self.land_mask)
         elevation_arr = read_raster(elevation_file).astype(np.float32)
         elevation_arr = np.where(self.mask_np, elevation_arr, np.nan)  # mask Antarctica
+        # SRTM void pixels (-32768) are missing data, not values: without the
+        # indicator the minmax auto-range collapses (vmin=-32768) and z-score
+        # feeds ~-100-sigma outliers to the convs (same fix as the GeoTIFF
+        # dataset below).
+        elevation_arr = self.elevation_scaler.normalize(
+            elevation_arr, missing_indicator=consts.world_clim.elevation_missing_indicator
+        )
         # ocean NaNs must not reach the convs (one NaN floods the output);
         # minmax substitutes inside the scaler, z-score leaves them (reference
         # quirk: a 0.0 nan_substitution is a no-op) — substitute here
-        self.elevation_data = _hwc(np.nan_to_num(self.elevation_scaler.normalize(elevation_arr), nan=0.0))
+        self.elevation_data = _hwc(np.nan_to_num(elevation_arr, nan=0.0))
         self.mask_hr = _hwc(self.mask_np.astype(np.float32))
         # LR grid from the actual series (360x720 for real CRU-TS)
         h, w = self.series.data.shape[1:]

@@ -111,7 +111,16 @@ class CategoricalTPESampler:
         self.gamma = gamma
 
     def suggest(self, history: Sequence[Trial]) -> Dict[str, Any]:
-        completed = [t for t in history if t.value is not None and math.isfinite(t.value)]
+        # Optuna's consider_pruned_trials=False default: a PRUNED trial's
+        # value is an early-epoch intermediate, not comparable to peers'
+        # final values — feeding it to the good/bad split would bias every
+        # later suggestion toward epoch-0 noise (see run_search's matching
+        # exclusion from `best`).
+        completed = [
+            t
+            for t in history
+            if t.state == "COMPLETE" and t.value is not None and math.isfinite(t.value)
+        ]
         if len(completed) < self.n_startup_trials:
             return {k: self._choice(v) for k, v in self.space.dimensions.items()}
         ranked = sorted(completed, key=lambda t: t.value)

@@ -522,14 +522,15 @@ class Trainer:
             advanced = self.trainer_cfg.profiler in ("advanced", "pytorch")
             trace_dir = self.workdir / self.trainer_cfg.profiler_dir
             self._stage_times: Dict[str, float] = {}
+            # trace ONE representative epoch (the first), not the whole fit:
+            # a multi-epoch whole-run trace accumulates device events into
+            # multi-GB xplane files and taxes every step (PL AdvancedProfiler
+            # parity is a per-op table, not a full-run trace)
+            self._advanced_trace_dir = trace_dir if advanced else None
             try:
-                if advanced:
-                    import jax.profiler as jprof
-
-                    with jprof.trace(str(trace_dir)):
-                        return self._fit_impl()
                 return self._fit_impl()
             finally:
+                self._advanced_trace_dir = None
                 total = sum(self._stage_times.values()) or 1.0
                 lines = [
                     f"  {name:<16} {secs:8.2f}s  {secs / total * 100:5.1f}%"
@@ -577,7 +578,16 @@ class Trainer:
                 except Exception:
                     logger.exception("Callback %s on_fit_start failed", type(cb).__name__)
         for epoch in range(max_epochs):
-            self._staged("train_epoch", self.train_epoch, epoch)
+            if getattr(self, "_advanced_trace_dir", None) is not None and epoch == 0:
+                import jax.profiler as jprof
+
+                jprof.start_trace(str(self._advanced_trace_dir))
+                try:
+                    self._staged("train_epoch", self.train_epoch, epoch)
+                finally:
+                    jprof.stop_trace()
+            else:
+                self._staged("train_epoch", self.train_epoch, epoch)
             # PL hook order: pruning & co. mutate weights at train-epoch end,
             # BEFORE validation — so val metrics and the checkpoint ranked by
             # them describe the same (pruned) parameters. A preempted epoch is

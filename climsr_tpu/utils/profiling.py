@@ -39,8 +39,13 @@ def _load_xspace(path: Path):
 def aggregate_device_ops(profile_dir) -> Optional[Dict[str, Tuple[float, int]]]:
     """op name -> (total device time in seconds, event count).
 
-    Aggregates every event on device planes (TPU or the CPU backend's device
-    plane in tests). Returns None when no trace or no proto support exists.
+    On real device planes only the "XLA Ops"/"Async XLA Ops" lines are
+    aggregated — the sibling "Steps"/"XLA Modules" lines span the same wall
+    time (an op is inside a module is inside a step), so counting every line
+    would triple-count and label rows with bare step numbers. The CPU backend
+    (tests) has no named op lines; there every line except the host "python"
+    tracing line is used. Returns None when no trace or no proto support
+    exists.
     """
     files = find_xplane_files(profile_dir)
     if not files:
@@ -54,10 +59,17 @@ def aggregate_device_ops(profile_dir) -> Optional[Dict[str, Tuple[float, int]]]:
     def collect(planes) -> Dict[str, Tuple[float, int]]:
         totals: Dict[str, Tuple[float, int]] = defaultdict(lambda: (0.0, 0))
         for plane in planes:
-            meta = {m_id: m.name or m.display_name for m_id, m in plane.event_metadata.items()}
-            for line in plane.lines:
+            # display_name is the short HLO op name ("fusion.78"); name holds
+            # the full HLO instruction text on TPU planes
+            meta = {
+                m_id: (m.display_name or m.name)
+                for m_id, m in plane.event_metadata.items()
+            }
+            op_lines = [l for l in plane.lines if l.name in ("XLA Ops", "Async XLA Ops")]
+            lines = op_lines or [l for l in plane.lines if l.name != "python"]
+            for line in lines:
                 for event in line.events:
-                    op = meta.get(event.metadata_id, f"op#{event.metadata_id}")
+                    op = meta.get(event.metadata_id) or f"op#{event.metadata_id}"
                     secs, cnt = totals[op]
                     totals[op] = (secs + event.duration_ps * 1e-12, cnt + 1)
         return dict(totals)
@@ -72,12 +84,12 @@ def aggregate_device_ops(profile_dir) -> Optional[Dict[str, Tuple[float, int]]]:
     return totals or None
 
 
-_ASYNC_PREFIXES = ("%copy-start", "%copy-done", "%all-reduce-start", "%all-gather-start",
-                   "%collective-permute-start", "%send", "%recv")
+_ASYNC_PREFIXES = ("copy-start", "copy-done", "all-reduce-start", "all-gather-start",
+                   "collective-permute-start", "send", "recv", "async")
 
 
 def _is_async_span(op: str) -> bool:
-    return op.startswith(_ASYNC_PREFIXES)
+    return op.lstrip("%").startswith(_ASYNC_PREFIXES)
 
 
 def format_op_table(totals: Dict[str, Tuple[float, int]], top: int = 40) -> str:

@@ -100,6 +100,38 @@ def test_cruts_inference_dataset_channels(cruts_fixture):
     assert np.isfinite(item[consts.batch_items.lr]).all()
 
 
+def test_cruts_elevation_voids_treated_as_missing(cruts_fixture, rng):
+    """SRTM void pixels (-32768) in the CRU-TS elevation raster are missing
+    data: without the missing-indicator the minmax auto-range collapses to
+    vmin=-32768 and every real elevation lands at the top of the range."""
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+
+    h, w = cruts_fixture["hw"]
+    scale = cruts_fixture["scale"]
+    hr_h, hr_w = h * scale, w * scale
+    elev = rng.normal(500, 300, size=(hr_h, hr_w)).astype(np.float32)
+    void_yx = (40, 40)  # on land (ocean strip is the first 16 HR rows)
+    elev[void_yx] = consts.world_clim.elevation_missing_indicator
+    write_geotiff(cruts_fixture["elev"], elev, GeoProfile.global_grid(hr_h, hr_w, nodata=None))
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="esrgan",
+        scaling_factor=scale,
+    )
+    e = np.asarray(ds.elevation_data)[..., 0]
+    assert np.isfinite(e).all()
+    assert e[void_yx] == 0.0  # void -> NaN -> substitution, not a data value
+    land = np.zeros((hr_h, hr_w), bool)
+    land[4 * scale:, :] = True
+    land[void_yx] = False
+    # the real elevations still span the normalize range instead of being
+    # squashed against +1 by a -32768 vmin
+    assert e[land].min() < -0.9 and e[land].max() > 0.9
+
+
 def test_full_inference_flow_writes_geotiffs_and_netcdf(cruts_fixture, rng):
     import jax
 

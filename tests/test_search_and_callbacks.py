@@ -41,6 +41,27 @@ def test_tpe_sampler_prefers_good_region():
     assert picks.count(1e-3) > 30  # strongly biased to the good choice
 
 
+def test_tpe_sampler_ignores_pruned_trials():
+    """Optuna's consider_pruned_trials=False default: a PRUNED trial's value
+    is an early-epoch intermediate, not a final — feeding it to the TPE
+    good/bad split would bias suggestions toward epoch-0 noise."""
+    space = _space()
+    sampler = CategoricalTPESampler(space, seed=0, n_startup_trials=4)
+    history = []
+    for i in range(10):
+        # completed evidence: lr=1e-3 is the genuinely good choice
+        history.append(Trial(2 * i, {"training.lr": 1e-3, "datamodule.cfg.use_mask": True}, value=1.0))
+        history.append(Trial(2 * i + 1, {"training.lr": 1e-4, "datamodule.cfg.use_mask": True}, value=5.0))
+    for i in range(10):
+        # pruned trials carry stellar-looking epoch-0 intermediates for the
+        # bad choice; counting them would flip the good/bad split
+        history.append(
+            Trial(20 + i, {"training.lr": 1e-4, "datamodule.cfg.use_mask": True}, value=0.01, state="PRUNED")
+        )
+    picks = [sampler.suggest(history)["training.lr"] for _ in range(50)]
+    assert picks.count(1e-3) > 30  # still biased to the COMPLETE-trial winner
+
+
 def test_run_search_drives_objective(tmp_path):
     space_cfg = {
         "n_trials": 8,

@@ -32,7 +32,9 @@ def test_cli_fit_validate_test_checkpoint(tiny_world, tmp_path):
         "trainer.limit_test_batches=1",
         "trainer.save_top_k=2",
         "trainer.log_every_n_steps=2",
-        "profiler=simple",  # exercises the stage-timing profiler wrapper
+        # advanced = the simple stage table PLUS an epoch-0 xplane trace and
+        # per-op device-time table — exercises both profiler wrappers
+        "profiler=advanced",
         "print_config=false",
         f"training.output_dir={tmp_path}",
     ])
@@ -44,6 +46,15 @@ def test_cli_fit_validate_test_checkpoint(tiny_world, tmp_path):
     rows = open(f"{run_dirs[0]}/metrics.csv").read()
     assert "val/rmse" in rows and "train/loss" in rows
     assert glob.glob(f"{run_dirs[0]}/checkpoints/config.json"), "config snapshot saved with checkpoints"
+    # the epoch-0 trace was captured and, when xplane protos are parsable in
+    # this env, distilled into the per-op table next to the checkpoints
+    from climsr_tpu.utils.profiling import advanced_profile_report, find_xplane_files
+
+    trace_dir = f"{run_dirs[0]}/profiles"
+    assert find_xplane_files(trace_dir), "profiler=advanced wrote no xplane trace"
+    if advanced_profile_report(trace_dir) is not None:
+        ops = open(f"{run_dirs[0]}/profile_ops.txt").read()
+        assert "TOTAL (compute events)" in ops
 
 
 def test_cli_gan_fit_smoke(tiny_world, tmp_path):
