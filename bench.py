@@ -68,8 +68,8 @@ def bench_train_step() -> None:
 
     bs, lr_hw = 192, 32
     model = create_generator(
-        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
-    )  # training resolves the Pallas trunk OFF (custom_vjp remat penalty)
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=True
+    )  # Pallas trunk with the fused Pallas backward (round 4): +31% vs XLA
     r = jax.random.PRNGKey(0)
     batch = {
         "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),

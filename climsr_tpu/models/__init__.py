@@ -47,11 +47,11 @@ def create_generator(name: str, dtype: Optional[Any] = None, **kwargs) -> Any:
     """Instantiate a generator module by registry name with config kwargs.
 
     ``use_pallas=None`` (or absent) means *auto*: the fused Pallas trunk
-    kernels are enabled on the TPU backend for families that support them.
-    This is the single resolution point for every construction path (CLIs,
-    instantiator, library use); pass an explicit True/False to override —
-    the trainer passes False because the kernels' custom_vjp backward
-    rematerializes the forward (see training/loop.py).
+    kernels are enabled on the TPU backend for families that support them —
+    for inference AND training (the kernels carry a fused Pallas backward,
+    see ops/pallas/rdb.py). This is the single resolution point for every
+    construction path (CLIs, instantiator, trainer, library use); pass an
+    explicit True/False to override.
     """
     if name not in GENERATORS:
         raise KeyError(f"Unknown generator '{name}'. Available: {sorted(GENERATORS)}")

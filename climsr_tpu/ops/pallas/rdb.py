@@ -49,8 +49,11 @@ column passes + 5 conv5 pair passes = 13 passes x ~25 us = ~320 us floor vs
 XLA's 686 us.
 
 Semantics match ``climsr_tpu.models.esrgan.ResidualDenseBlock`` exactly
-(tested); a ``jax.custom_vjp`` wrapper delegates the backward pass to the
-pure-JAX implementation so training works unchanged.
+(tested). Backward passes: the v2 NHWC ``fused_rdb`` delegates its vjp to the
+pure-JAX reference; the v3 transposed ``fused_rdb_t``/``fused_rdb_res_t``
+carry a fused Pallas BACKWARD kernel (saved-feature custom_vjp — see the
+"Training path" section below) so the trunk wins under autodiff too:
+measured 98.4 vs 129.2 ms/train-step (+31%) at the flagship bs=192 config.
 """
 from __future__ import annotations
 
@@ -185,63 +188,17 @@ def _tap_rows(w: jax.Array, k_pad: int) -> jax.Array:
 
 
 def _rdb_t_kernel(nf, gc, h, w, with_res, *refs):
+    # growth convs: one (9*gc, 128) @ (128, L) matmul each; conv5: one
+    # (9*nf, 128) @ (128, L) matmul (a single 576-row matmul beats three
+    # 192-row ones: M-tiles round up to 5 instead of 6, ~7% fewer MXU passes
+    # per RDB). With ``with_res`` the enclosing RRDB's 0.2-residual is folded
+    # into this block's single HBM write (saves an elementwise pass per RRDB).
     if with_res:
         x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
     else:
         x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
         x0_ref = None
-    total = nf + 4 * gc
-    L = x_ref.shape[1]
-    P = h * w
-
-    # per-tap validity masks ('SAME' zero padding, computed from lane coords)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    q = lane % P
-    yy, xx = q // w, q % w
-    masks = []
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        ok = (yy + dy - 1 >= 0) & (yy + dy - 1 < h) & (xx + dx - 1 >= 0) & (xx + dx - 1 < w)
-        masks.append(ok)
-
-    feat[...] = jnp.zeros_like(feat)
-    feat[:nf, :] = x_ref[...].astype(feat.dtype)
-
-    def tap_reduce(zval, cout, taps, bias):
-        acc = jnp.broadcast_to(bias.astype(jnp.float32), (cout, L))
-        for j, t in enumerate(taps):
-            dy, dx = divmod(t, 3)
-            delta = (dy - 1) * w + (dx - 1)
-            block = zval[j * cout : (j + 1) * cout, :]
-            if delta:
-                block = pltpu.roll(block, shift=(-delta) % L, axis=1)
-            acc = acc + jnp.where(masks[t], block, 0.0)
-        return acc
-
-    # --- growth convs: one (9*gc, 128) @ (128, L) matmul each ---------------
-    for k in range(4):
-        z[: 9 * gc, :] = jnp.dot(
-            wg_ref[k], feat[...], preferred_element_type=jnp.float32
-        )
-        acc = tap_reduce(z[: 9 * gc, :], gc, range(9), bg_ref[k])
-        acc = jnp.where(acc > 0, acc, 0.2 * acc)  # LeakyReLU(0.2)
-        off = nf + k * gc
-        feat[off : off + gc, :] = acc.astype(feat.dtype)
-
-    # --- conv5: one (9*nf, 128) @ (128, L) matmul ---------------------------
-    # (a single 576-row matmul beats three 192-row ones: M-tiles round up to
-    # 5 instead of 6, ~7% fewer MXU passes per RDB)
-    z[: 9 * nf, :] = jnp.dot(w5_ref[...], feat[...], preferred_element_type=jnp.float32)
-    y5[...] = jnp.broadcast_to(b5_ref[...].astype(jnp.float32), (nf, L))
-    y5[...] += tap_reduce(z[: 9 * nf, :], nf, range(9), jnp.zeros((nf, 1), jnp.float32))
-
-    rdb_out = x_ref[...].astype(jnp.float32) + 0.2 * y5[...]
-    if x0_ref is None:
-        o_ref[...] = rdb_out.astype(o_ref.dtype)
-    else:
-        # fold the enclosing RRDB's 0.2-residual into this block's HBM write
-        # (saves a separate 3x-traffic elementwise pass per RRDB)
-        o_ref[...] = (x0_ref[...].astype(jnp.float32) + 0.2 * rdb_out).astype(o_ref.dtype)
+    _rdb_t_forward_body(nf, gc, h, w, x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5)
 
 
 def nhwc_to_cl(x: jax.Array) -> jax.Array:
@@ -316,29 +273,305 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
     )(*data_in, wg, bg, w5rows, b5r)
 
 
+# ---------------------------------------------------------------------------
+# Training path: forward-with-saved-features + a fused Pallas BACKWARD kernel.
+#
+# The v3 kernels above are forward-only wins: their original custom_vjp
+# recomputed the forward through the XLA reference, so training resolved
+# use_pallas OFF (a rematerialized forward per step cost more than the 8%
+# forward win). The pair below closes that:
+#
+# - the differentiated forward streams its VMEM feature buffer ``feat``
+#   (total = nf + 4*gc rows: x plus every growth activation) to HBM as a
+#   second output — the complete residual set. LeakyReLU slopes come from
+#   ``sign(h_k)`` (lrelu preserves sign), so no pre-activation save is needed.
+# - the backward kernel reuses the forward's masked-roll tap algebra: for each
+#   conv, a stack ``zbuf`` of 9 masked+rolled upstream-gradient blocks
+#   (zbuf_t[m] = mask_t[m-Δt] * dy[m-Δt]) serves BOTH gradients as single
+#   MXU matmuls:
+#       dX     = W_colsᵀ (total, 9*cout) @ zbuf (9*cout, L)
+#       dW_all = zbuf (9*cout, L) @ featᵀ (L, total)   [accumulated over grid]
+#   Growth convs run in reverse order, accumulating into a (total, L) f32
+#   ``dfeat``; zero-padded weight rows ≥ cin keep padding garbage out of
+#   dfeat by construction, and dW columns ≥ cin are sliced off host-side.
+#
+# MXU pass model (nf=64, gc=16, per L lanes): dX = 5 (conv5) + 4*2 (growth)
+# = 13 passes, dW the same ⇒ backward = 26 vs forward 13 — the canonical
+# conv fwd:bwd = 1:2 ratio, with no recompute.
+# ---------------------------------------------------------------------------
+
+
+def _rdb_t_fwd_save_kernel(nf, gc, h, w, with_res, *refs):
+    """Forward identical to ``_rdb_t_kernel`` but the feature buffer is an
+    OUTPUT ref (streamed to HBM for the backward) instead of scratch."""
+    if with_res:
+        x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
+    else:
+        x_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5 = refs
+        x0_ref = None
+    _rdb_t_forward_body(nf, gc, h, w, x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5)
+
+
+def _rdb_t_forward_body(nf, gc, h, w, x_ref, x0_ref, wg_ref, bg_ref, w5_ref, b5_ref, o_ref, feat, z, y5):
+    total = nf + 4 * gc
+    L = x_ref.shape[1]
+    masks = _tap_masks(h, w, L)
+
+    feat[...] = jnp.zeros_like(feat)
+    feat[:nf, :] = x_ref[...].astype(feat.dtype)
+
+    for k in range(4):
+        z[: 9 * gc, :] = jnp.dot(wg_ref[k], feat[...], preferred_element_type=jnp.float32)
+        acc = _tap_reduce(z[: 9 * gc, :], gc, range(9), bg_ref[k], masks, w, L)
+        acc = jnp.where(acc > 0, acc, 0.2 * acc)
+        off = nf + k * gc
+        feat[off : off + gc, :] = acc.astype(feat.dtype)
+
+    z[: 9 * nf, :] = jnp.dot(w5_ref[...], feat[...], preferred_element_type=jnp.float32)
+    y5[...] = jnp.broadcast_to(b5_ref[...].astype(jnp.float32), (nf, L))
+    y5[...] += _tap_reduce(z[: 9 * nf, :], nf, range(9), jnp.zeros((nf, 1), jnp.float32), masks, w, L)
+
+    rdb_out = x_ref[...].astype(jnp.float32) + 0.2 * y5[...]
+    if x0_ref is None:
+        o_ref[...] = rdb_out.astype(o_ref.dtype)
+    else:
+        o_ref[...] = (x0_ref[...].astype(jnp.float32) + 0.2 * rdb_out).astype(o_ref.dtype)
+
+
+def _tap_masks(h, w, L):
+    """Per-tap 'SAME'-padding validity masks over the flat lane axis."""
+    P = h * w
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    q = lane % P
+    yy, xx = q // w, q % w
+    masks = []
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        ok = (yy + dy - 1 >= 0) & (yy + dy - 1 < h) & (xx + dx - 1 >= 0) & (xx + dx - 1 < w)
+        masks.append(ok)
+    return masks
+
+
+def _tap_reduce(zval, cout, taps, bias, masks, w, L):
+    acc = jnp.broadcast_to(bias.astype(jnp.float32), (cout, L))
+    for j, t in enumerate(taps):
+        dy, dx = divmod(t, 3)
+        delta = (dy - 1) * w + (dx - 1)
+        block = zval[j * cout : (j + 1) * cout, :]
+        if delta:
+            block = pltpu.roll(block, shift=(-delta) % L, axis=1)
+        acc = acc + jnp.where(masks[t], block, 0.0)
+    return acc
+
+
+def _rdb_t_fwd_save_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile, x0t=None):
+    """Forward in the transposed layout, returning ``(out, feat)``."""
+    nf, ntot = xt.shape
+    gc = w1.shape[-1]
+    total = nf + 4 * gc
+    n = ntot // (h * w)
+    bt = min(batch_tile, n)
+    while n % bt:
+        bt -= 1
+    L = bt * h * w
+
+    wg = jnp.stack([_tap_rows(wt, total) for wt in (w1, w2, w3, w4)])
+    bg = jnp.stack([b.reshape(gc, 1) for b in (b1, b2, b3, b4)])
+    w5rows = _tap_rows(w5, total)
+    b5r = b5.reshape(nf, 1)
+
+    def lane_spec(rows):
+        return pl.BlockSpec((rows, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    zrows = max(9 * gc, 9 * nf)
+    with_res = x0t is not None
+    data_in = [xt] + ([x0t] if with_res else [])
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    vmem_bytes = L * (
+        total * itemsize * 2  # feat output block (double-buffered)
+        + zrows * 4
+        + nf * 4
+        + nf * itemsize * (2 + len(data_in))
+    ) + 2 * (wg.size + w5rows.size) * itemsize
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, int(vmem_bytes * 1.25)))
+    )
+    return pl.pallas_call(
+        functools.partial(_rdb_t_fwd_save_kernel, nf, gc, h, w, with_res),
+        grid=(n // bt,),
+        in_specs=[lane_spec(nf) for _ in data_in]
+        + [full(wg.shape), full(bg.shape), full(w5rows.shape), full(b5r.shape)],
+        out_specs=(lane_spec(nf), lane_spec(total)),
+        out_shape=(
+            jax.ShapeDtypeStruct(xt.shape, xt.dtype),
+            jax.ShapeDtypeStruct((total, ntot), xt.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((zrows, L), jnp.float32),  # tap-row matmul result
+            pltpu.VMEM((nf, L), jnp.float32),  # conv5 accumulator
+        ],
+        compiler_params=compiler_params,
+        interpret=jax.default_backend() == "cpu",
+    )(*data_in, wg, bg, w5rows, b5r)
+
+
+def _rdb_t_bwd_kernel(nf, gc, h, w, gy_scale, gx_scale, feat_ref, g_ref, wgc_ref, w5c_ref,
+                      o_dx, o_dwg, o_dw5, o_dbg, dfeat, zbuf):
+    """Fused RDB backward: dX, dW, db for all five convs from saved ``feat``.
+
+    ``zbuf`` block t holds ``roll(mask_t * dy, +Δt)``: lane m of that block is
+    the gradient flowing from output lane l = m − Δt, which in the forward
+    consumed feat lane l + Δt = m — so ``Wᵀ @ zbuf`` lands input grads on the
+    right lanes and ``zbuf @ featᵀ`` is exactly each tap's weight grad. The
+    forward's masks make both correct across image boundaries for free.
+    """
+    total = nf + 4 * gc
+    L = g_ref.shape[1]
+    first = pl.program_id(0) == 0
+    masks = _tap_masks(h, w, L)
+
+    def stack_rolled(val, cout):
+        # val: (cout, L) f32. Mask BEFORE rolling (mask belongs to lane l);
+        # roll in f32 (Mosaic's rotate needs 32-bit data), cast on store.
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            delta = (dy - 1) * w + (dx - 1)
+            blk = jnp.where(masks[t], val, 0.0)
+            if delta:
+                blk = pltpu.roll(blk, shift=delta % L, axis=1)
+            zbuf[t * cout : (t + 1) * cout, :] = blk.astype(zbuf.dtype)
+
+    def accumulate(ref, value):
+        @pl.when(first)
+        def _():
+            ref[...] = value
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] += value
+
+    lanes_dot = (((1,), (1,)), ((), ()))  # contract the lane axis of both
+
+    # --- conv5 backward -----------------------------------------------------
+    dy5 = g_ref[...].astype(jnp.float32) * gy_scale
+    stack_rolled(dy5, nf)
+    dfeat[...] = jnp.dot(w5c_ref[...], zbuf[...], preferred_element_type=jnp.float32)
+    accumulate(
+        o_dw5,
+        jax.lax.dot_general(
+            zbuf[...], feat_ref[...], dimension_numbers=lanes_dot, preferred_element_type=jnp.float32
+        ),
+    )
+
+    # --- growth convs, reverse order -----------------------------------------
+    for k in (3, 2, 1, 0):
+        off = nf + k * gc
+        hk = feat_ref[off : off + gc, :].astype(jnp.float32)
+        da = dfeat[off : off + gc, :] * jnp.where(hk > 0, 1.0, 0.2)
+        accumulate(
+            o_dbg.at[k * gc : (k + 1) * gc, :],
+            jnp.broadcast_to(jnp.sum(da, axis=1, keepdims=True), (gc, o_dbg.shape[1])),
+        )
+        stack_rolled(da, gc)
+        # zero-padded weight rows >= cin keep later feature rows untouched
+        dfeat[...] += jnp.dot(wgc_ref[k], zbuf[: 9 * gc, :], preferred_element_type=jnp.float32)
+        accumulate(
+            o_dwg.at[k],
+            jax.lax.dot_general(
+                zbuf[: 9 * gc, :], feat_ref[...], dimension_numbers=lanes_dot,
+                preferred_element_type=jnp.float32,
+            ),
+        )
+
+    o_dx[...] = (g_ref[...].astype(jnp.float32) * gx_scale + dfeat[:nf, :]).astype(o_dx.dtype)
+
+
+def _untap_rows(rows: jax.Array, cin: int, cout: int, dtype) -> jax.Array:
+    """Inverse of ``_tap_rows``: (9*cout, total) grads -> (3, 3, cin, cout)."""
+    return rows[:, :cin].reshape(3, 3, cout, cin).transpose(0, 1, 3, 2).astype(dtype)
+
+
+def _rdb_t_bwd_raw(feat, g, wargs, h, w, batch_tile, gy_scale, gx_scale):
+    """Run the backward kernel; return (dx, dw1, db1, ..., dw5, db5)."""
+    w1, b1, w2, b2, w3, b3, w4, b4, w5, b5 = wargs
+    nf, ntot = g.shape
+    gc = w1.shape[-1]
+    total = nf + 4 * gc
+    n = ntot // (h * w)
+    bt = min(batch_tile, n)
+    while n % bt:
+        bt -= 1
+    L = bt * h * w
+
+    # transposed weight packings for the dX matmuls (constant-folded under jit)
+    wgc = jnp.stack([_tap_rows(wt, total).T for wt in (w1, w2, w3, w4)])  # (4, total, 9*gc)
+    w5c = _tap_rows(w5, total).T  # (total, 9*nf)
+
+    def lane_spec(rows):
+        return pl.BlockSpec((rows, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    zrows = max(9 * gc, 9 * nf)
+    itemsize = jnp.dtype(g.dtype).itemsize
+    vmem_bytes = L * (
+        total * itemsize * 2  # feat in (double-buffered)
+        + nf * itemsize * 4  # g in + dx out (double-buffered)
+        + total * 4  # dfeat f32 scratch
+        + zrows * itemsize  # zbuf
+    ) + 8 * (wgc.size + w5c.size) * itemsize
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(100 * 1024 * 1024, max(16 * 1024 * 1024, int(vmem_bytes * 1.25)))
+    )
+    dx, dwg, dw5, dbg = pl.pallas_call(
+        functools.partial(_rdb_t_bwd_kernel, nf, gc, h, w, gy_scale, gx_scale),
+        grid=(n // bt,),
+        in_specs=[lane_spec(total), lane_spec(nf), full(wgc.shape), full(w5c.shape)],
+        out_specs=(lane_spec(nf), full((4, 9 * gc, total)), full((9 * nf, total)), full((4 * gc, 128))),
+        out_shape=(
+            jax.ShapeDtypeStruct(g.shape, g.dtype),
+            jax.ShapeDtypeStruct((4, 9 * gc, total), jnp.float32),
+            jax.ShapeDtypeStruct((9 * nf, total), jnp.float32),
+            jax.ShapeDtypeStruct((4 * gc, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((total, L), jnp.float32),  # dfeat accumulator
+            pltpu.VMEM((zrows, L), g.dtype),  # masked+rolled grad stack
+        ],
+        compiler_params=compiler_params,
+        interpret=jax.default_backend() == "cpu",
+    )(feat, g, wgc, w5c)
+
+    grads = [dx]
+    for k, (wt, b) in enumerate(((w1, b1), (w2, b2), (w3, b3), (w4, b4))):
+        cin = nf + k * gc
+        grads.append(_untap_rows(dwg[k], cin, gc, wt.dtype))
+        grads.append(dbg[k * gc : (k + 1) * gc, 0].astype(b.dtype))
+    grads.append(_untap_rows(dw5, total, nf, w5.dtype))
+    grads.append((gy_scale * jnp.sum(g.astype(jnp.float32), axis=1)).astype(b5.dtype))
+    return tuple(grads)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 13))
 def fused_rdb_t(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile: int = 4):
-    """Transposed-layout fused RDB; backward delegates to the JAX reference."""
+    """Transposed-layout fused RDB; fused Pallas forward AND backward."""
     return _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_tile)
 
 
 def _fwd_t(xt, h, w, *args):
     wargs = args[:10]
     batch_tile = args[10]
-    out = _rdb_t_pallas_raw(xt, h, w, *wargs, batch_tile)
-    return out, (xt, wargs)
+    out, feat = _rdb_t_fwd_save_raw(xt, h, w, *wargs, batch_tile)
+    return out, (feat, wargs)
 
 
 def _bwd_t(h, w, batch_tile, residuals, g):
-    xt, wargs = residuals
-    nf, ntot = xt.shape
-    n = ntot // (h * w)
-
-    def ref_t(xt, *wargs):
-        return nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *wargs))
-
-    _, vjp = jax.vjp(ref_t, xt, *wargs)
-    return vjp(g)
+    feat, wargs = residuals
+    return _rdb_t_bwd_raw(feat, g, wargs, h, w, batch_tile, gy_scale=0.2, gx_scale=1.0)
 
 
 fused_rdb_t.defvjp(_fwd_t, _bwd_t)
@@ -354,20 +587,15 @@ def fused_rdb_res_t(xt, x0t, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch
 def _fwd_res_t(xt, x0t, h, w, *args):
     wargs = args[:10]
     batch_tile = args[10]
-    out = _rdb_t_pallas_raw(xt, h, w, *wargs, batch_tile, x0t=x0t)
-    return out, (xt, x0t, wargs)
+    out, feat = _rdb_t_fwd_save_raw(xt, h, w, *wargs, batch_tile, x0t=x0t)
+    return out, (feat, wargs)
 
 
 def _bwd_res_t(h, w, batch_tile, residuals, g):
-    xt, x0t, wargs = residuals
-    nf, ntot = xt.shape
-    n = ntot // (h * w)
-
-    def ref_t(xt, x0t, *wargs):
-        return x0t + 0.2 * nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *wargs))
-
-    _, vjp = jax.vjp(ref_t, xt, x0t, *wargs)
-    return vjp(g)
+    feat, wargs = residuals
+    # out = x0 + 0.2*(x + 0.2*y5): dx0 = g, inner grads scale by 0.2
+    grads = _rdb_t_bwd_raw(feat, g, wargs, h, w, batch_tile, gy_scale=0.04, gx_scale=0.2)
+    return (grads[0], g) + grads[1:]
 
 
 fused_rdb_res_t.defvjp(_fwd_res_t, _bwd_res_t)

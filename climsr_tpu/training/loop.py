@@ -238,14 +238,12 @@ class Trainer:
             k: getattr(generator_cfg, k) for k in _GENERATOR_KWARGS if hasattr(generator_cfg, k)
         }
         gen_kwargs["remat"] = trainer_cfg.remat
-        # The fused Pallas trunk kernels are a forward-path optimization: their
-        # custom_vjp backward recomputes the forward through the XLA reference,
-        # so under training autodiff they add a rematerialized forward per step
-        # (measured 141.6 vs 128.3 ms/step at the flagship bs=192 config).
-        # generator.use_pallas=null (auto) therefore resolves to OFF for
-        # training — create_generator resolves auto to ON for inference —
-        # while an explicit use_pallas=true is honored here too.
-        gen_kwargs["use_pallas"] = getattr(generator_cfg, "use_pallas", None) is True
+        # generator.use_pallas=null (auto) resolves through create_generator:
+        # ON on the TPU backend. Since round 4 the fused trunk kernels carry a
+        # fused Pallas BACKWARD (saved-feature custom_vjp, ops/pallas/rdb.py)
+        # so training benefits too — measured 98.4 vs 129.2 ms/step (+31%) at
+        # the flagship bs=192 config. Explicit true/false is honored as-is.
+        gen_kwargs["use_pallas"] = getattr(generator_cfg, "use_pallas", None)
         self.g_model = create_generator(self.generator_type, dtype=self.compute_dtype, **gen_kwargs)
         self.d_model = None
         if self.is_gan:

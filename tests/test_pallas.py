@@ -66,6 +66,46 @@ def test_fused_rdb_t_gradients_via_reference_bwd(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-3)
 
 
+def test_fused_rdb_t_weight_gradients(rng):
+    """The fused Pallas backward's dW/db path (zbuf @ feat^T) vs autodiff of
+    the reference — every weight and bias of all five convs."""
+    n, h, w = 2, 8, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, 16)).astype(np.float32))
+    ws = _weights(rng)
+    xt = nhwc_to_cl(x)
+    argnums = tuple(range(len(ws) + 1))
+    g = jax.grad(lambda xt, *ws: jnp.sum(fused_rdb_t(xt, h, w, *ws, 1) ** 2), argnums)(xt, *ws)
+    gref = jax.grad(
+        lambda xt, *ws: jnp.sum(nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *ws)) ** 2), argnums
+    )(xt, *ws)
+    for a, b in zip(g, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fused_rdb_res_t_gradients(rng):
+    """Residual-fused variant (x0 + 0.2*rdb(x)): grads wrt x, x0 and all weights."""
+    from climsr_tpu.ops.pallas.rdb import fused_rdb_res_t
+
+    n, h, w = 2, 8, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, 16)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(n, h, w, 16)).astype(np.float32))
+    ws = _weights(rng)
+    xt, x0t = nhwc_to_cl(x), nhwc_to_cl(x0)
+    argnums = tuple(range(len(ws) + 2))
+
+    def ref(xt, x0t, *ws):
+        return x0t + 0.2 * nhwc_to_cl(rdb_reference(cl_to_nhwc(xt, n, h, w), *ws))
+
+    out = fused_rdb_res_t(xt, x0t, h, w, *ws, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(xt, x0t, *ws)), atol=1e-4)
+    g = jax.grad(lambda *a: jnp.sum(fused_rdb_res_t(a[0], a[1], h, w, *a[2:], 1) ** 2), argnums)(
+        xt, x0t, *ws
+    )
+    gref = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums)(xt, x0t, *ws)
+    for a, b in zip(g, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_esrgan_use_pallas_matches_xla_path(rng):
     """Whole-model parity: the pallas trunk is numerically identical (params,
     forward, gradients) to the XLA path — checkpoints are interchangeable."""
