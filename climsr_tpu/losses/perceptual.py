@@ -14,8 +14,14 @@ Parity: reference ``climsr/losses/perceptual.py``:
   it a real loss term.
 
 Because the default is gradient-free, GAN training is numerically faithful to
-the reference even when no pretrained VGG weights are on disk (random-feature
-fallback shifts only the *logged* value) — flagged loudly either way.
+the reference even when no pretrained VGG weights are on disk: the loss then
+runs on the deterministic seeded stand-in features
+(``models.vgg.seeded_vgg19_variables`` — fixed-PRNG init, bit-identical on
+every machine, pinned by committed goldens), which shifts only the *logged*
+perceptual value. Fetch real ImageNet weights once with
+``scripts/fetch_vgg19.py`` to make logged values reference-faithful;
+``differentiable=True`` on seeded features is the one combination that warns
+loudly, because there the substitution changes training dynamics.
 """
 from __future__ import annotations
 
@@ -25,7 +31,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from climsr_tpu.models.vgg import VGG19Features, try_load_pretrained
+from climsr_tpu.models.vgg import VGG19Features, load_feature_weights
 
 logger = logging.getLogger(__name__)
 
@@ -46,20 +52,24 @@ def build_perceptual_loss(
     """
     model = VGG19Features(cutoff=cutoff, dtype=compute_dtype)
     if variables is None:
-        variables = try_load_pretrained(cutoff=cutoff)
-    if variables is None:
-        consequence = (
-            "differentiable=True backpropagates through these RANDOM features — "
-            "generator gradients will differ materially from a pretrained-VGG run"
-            if differentiable
-            else "with the reference's no-grad semantics this only changes the "
-            "*logged* perceptual value, not training dynamics"
-        )
-        logger.warning(
-            "No pretrained VGG19 weights found (weights/vgg19_features.npz or torch hub "
-            "cache). Using randomly-initialized features: %s.", consequence
-        )
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), compute_dtype))
+        variables, provenance = load_feature_weights(cutoff=cutoff)
+        if provenance == "seeded":
+            if differentiable:
+                logger.warning(
+                    "differentiable_perceptual=true with no pretrained VGG19 weights on "
+                    "disk: backpropagating through the deterministic SEEDED stand-in "
+                    "features — generator gradients will differ materially from a "
+                    "pretrained-VGG run. Fetch real weights once with "
+                    "scripts/fetch_vgg19.py."
+                )
+            else:
+                logger.info(
+                    "Perceptual loss running on the deterministic seeded VGG19 stand-in "
+                    "(no weights/vgg19_features.npz or torch-hub checkpoint found). "
+                    "Reproducible across machines; under the reference's no-grad "
+                    "semantics only the logged value differs from an ImageNet-weights "
+                    "run. scripts/fetch_vgg19.py upgrades it."
+                )
 
     def perceptual_fn(fake_high_resolution: jax.Array, high_resolution: jax.Array) -> jax.Array:
         def compute(fake, real):

@@ -162,3 +162,31 @@ def try_load_pretrained(cutoff: str = "conv5_4") -> Optional[Dict]:
     except Exception:
         pass
     return None
+
+
+def seeded_vgg19_variables(cutoff: str = "conv5_4", seed: int = 0) -> Dict:
+    """Deterministic stand-in feature weights (flax default init, fixed seed).
+
+    NOT ImageNet weights — a reproducible substitute for environments where
+    ``scripts/fetch_vgg19.py`` has never been able to reach the network. Every
+    machine/backend derives bit-identical params from the JAX PRNG, so logged
+    perceptual values are comparable across runs and pinned by the committed
+    goldens (``tests/fixtures/vgg19_goldens.npz``). Under the reference's
+    no-grad perceptual semantics (``climsr/losses/perceptual.py:23``) the
+    substitution affects only the logged value, never training dynamics.
+    """
+    model = VGG19Features(cutoff=cutoff)
+    return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+
+def load_feature_weights(cutoff: str = "conv5_4") -> tuple:
+    """Resolve perceptual-loss feature weights: ``(variables, provenance)``.
+
+    Provenance is ``"pretrained"`` (npz artifact or torch-hub checkpoint —
+    reference-faithful ImageNet features) or ``"seeded"`` (the deterministic
+    stand-in from :func:`seeded_vgg19_variables`).
+    """
+    variables = try_load_pretrained(cutoff=cutoff)
+    if variables is not None:
+        return variables, "pretrained"
+    return seeded_vgg19_variables(cutoff=cutoff), "seeded"

@@ -92,6 +92,67 @@ def test_vgg19_npz_round_trip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_seeded_standin_is_deterministic_and_resolves(rng):
+    """With no pretrained artifact on disk, ``load_feature_weights`` resolves
+    to the seeded stand-in: bit-deterministic (same PRNG-derived params every
+    call — the property that makes logged perceptual values comparable across
+    machines) and flagged with provenance 'seeded'."""
+    from climsr_tpu.models import vgg
+
+    a = vgg.seeded_vgg19_variables(cutoff="conv2_2")
+    b = vgg.seeded_vgg19_variables(cutoff="conv2_2")
+    for name in a["params"]:
+        np.testing.assert_array_equal(
+            np.asarray(a["params"][name]["kernel"]), np.asarray(b["params"][name]["kernel"])
+        )
+    if not vgg.default_weights_path().exists():
+        variables, provenance = vgg.load_feature_weights(cutoff="conv2_2")
+        assert provenance == "seeded"
+        assert set(variables["params"]) == set(a["params"])
+
+
+def test_pretrained_weights_artifact_matches_torch_oracle(rng):
+    """GATED on a fetched weights artifact: when ``weights/vgg19_features.npz``
+    exists (scripts/fetch_vgg19.py ran in a connected environment), the flax
+    perceptual value on those weights must match a torch oracle running the
+    same state dict — the reference-faithfulness assertion VERDICT r3 asked
+    for. Skipped when the artifact is absent (zero-egress CI)."""
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+    from climsr_tpu.models import vgg
+
+    npz = vgg.default_weights_path()
+    if not npz.exists():
+        pytest.skip("no pretrained VGG19 artifact (run scripts/fetch_vgg19.py once)")
+
+    variables = vgg.load_npz(npz)
+    # rebuild the torch replica from the SAME params (HWIO -> OIHW)
+    features = _torch_vgg19_features()
+    sd = {}
+    conv_names = [item[0] for item in
+                  [("conv1_1", 64), ("conv1_2", 64), ("conv2_1", 128), ("conv2_2", 128),
+                   ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256),
+                   ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512),
+                   ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512)]]
+    torch_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    for name, idx in zip(conv_names, torch_idx):
+        p = variables["params"][name]
+        sd[f"{idx}.weight"] = torch.from_numpy(np.asarray(p["kernel"]).transpose(3, 2, 0, 1).copy())
+        sd[f"{idx}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+    features.load_state_dict(sd)
+    truncated = features[:35]
+
+    hr = rng.normal(size=(2, 48, 48, 1)).astype(np.float32)
+    sr = (hr + rng.normal(size=hr.shape).astype(np.float32) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        t_hr = torch.from_numpy(np.repeat(hr.transpose(0, 3, 1, 2), 3, axis=1))
+        t_sr = torch.from_numpy(np.repeat(sr.transpose(0, 3, 1, 2), 3, axis=1))
+        want = float(torch.nn.functional.l1_loss(truncated(t_hr), truncated(t_sr)))
+
+    loss = build_perceptual_loss(differentiable=False, compute_dtype=jnp.float32)
+    got = float(loss(jnp.asarray(sr), jnp.asarray(hr)))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
 def test_perceptual_loss_gradient_semantics(rng):
     """The reference computes the perceptual loss under torch.no_grad()
     (perceptual.py:23) -> zero gradient contribution; differentiable=True is
