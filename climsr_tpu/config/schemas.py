@@ -156,6 +156,11 @@ class SchedulerConfig:
     pct_start: float = 0.05
     div_factor: float = 2.0
     final_div_factor: float = 100.0
+    # torch OneCycleLR momentum co-cycle (defaults match torch: ON, 0.85/0.95);
+    # for Adam this cycles beta1 inversely to the lr
+    cycle_momentum: bool = True
+    base_momentum: float = 0.85
+    max_momentum: float = 0.95
     # polynomial
     power: float = 1.0
     lr_end: float = 1e-7

@@ -45,7 +45,7 @@ from climsr_tpu.models import FUSION_GENERATORS, create_discriminator, create_ge
 from climsr_tpu.parallel.mesh import batch_sharding, create_mesh, put_replicated, replicated
 from climsr_tpu.training.checkpoint import CheckpointManager, restore_generator_params
 from climsr_tpu.training.optimizers import build_optimizer
-from climsr_tpu.training.schedules import resolve_schedule
+from climsr_tpu.training.schedules import resolve_momentum_schedule, resolve_schedule
 from climsr_tpu.training.tasks.gan import make_gan_step, make_gan_val_losses
 from climsr_tpu.training.tasks.pretrain import make_eval_step, make_pretrain_step
 from climsr_tpu.training.train_state import GANTrainState, TrainState, param_count
@@ -267,7 +267,10 @@ class Trainer:
         g_opt_cfg = self.optimizers_cfg.get(T.generator_optimizer_key) or OptimizerConfig(lr=training_cfg.lr)
         g_sched_cfg = self.schedulers_cfg.get(T.generator_scheduler_key)
         g_schedule = resolve_schedule(g_sched_cfg, g_opt_cfg.lr, self.num_training_steps)
-        self.g_tx = build_optimizer(g_opt_cfg, g_schedule, trainer_cfg.gradient_clip_val, accum)
+        g_b1_schedule = resolve_momentum_schedule(g_sched_cfg, self.num_training_steps)
+        self.g_tx = build_optimizer(
+            g_opt_cfg, g_schedule, trainer_cfg.gradient_clip_val, accum, b1_schedule=g_b1_schedule
+        )
         self.g_schedule = g_schedule
 
         if self.is_gan:
@@ -290,7 +293,10 @@ class Trainer:
             d_opt_cfg = self.optimizers_cfg.get(T.discriminator_optimizer_key) or OptimizerConfig(lr=training_cfg.lr)
             d_sched_cfg = self.schedulers_cfg.get(T.discriminator_scheduler_key)
             d_schedule = resolve_schedule(d_sched_cfg, d_opt_cfg.lr, self.num_training_steps)
-            self.d_tx = build_optimizer(d_opt_cfg, d_schedule, trainer_cfg.gradient_clip_val, accum)
+            d_b1_schedule = resolve_momentum_schedule(d_sched_cfg, self.num_training_steps)
+            self.d_tx = build_optimizer(
+                d_opt_cfg, d_schedule, trainer_cfg.gradient_clip_val, accum, b1_schedule=d_b1_schedule
+            )
             state = GANTrainState.create(g_params, self.g_tx, d_params, self.d_tx, d_bs)
         else:
             state = TrainState.create(g_params, self.g_tx)

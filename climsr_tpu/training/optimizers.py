@@ -72,7 +72,15 @@ def build_optimizer(
     schedule: optax.Schedule,
     gradient_clip_val: float = 0.0,
     accumulate_grad_batches: int = 1,
+    b1_schedule: Optional[optax.Schedule] = None,
 ) -> optax.GradientTransformation:
+    """``b1_schedule``: per-step momentum for torch OneCycleLR's
+    cycle_momentum=True default (schedules.one_cycle_momentum_schedule) — for
+    Adam/AdamW it drives beta1, for SGD/RMSprop the heavy-ball decay. The
+    reference's generator one-cycle runs leave momentum cycling ON, so parity
+    REQUIRES it (pinned by the wd+one_cycle twin test in
+    tests/test_training_parity.py). Implemented with optax.inject_hyperparams
+    so the moment decay is re-read from the schedule every update."""
     name = cfg.name.lower()
     wd = cfg.weight_decay or 0.0
     b1, b2 = cfg.betas
@@ -84,10 +92,17 @@ def build_optimizer(
     if coupled_l2:
         chain.append(optax.add_decayed_weights(wd))
 
+    def _adam_core():
+        if b1_schedule is not None:
+            return optax.inject_hyperparams(optax.scale_by_adam, static_args=("mu_dtype",))(
+                b1=b1_schedule, b2=b2, eps=cfg.eps
+            )
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=cfg.eps)
+
     if name in ("adam", "fusedadam", "cpuadam", "onebitadam"):
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=cfg.eps))
+        chain.append(_adam_core())
     elif name == "adamw":
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=cfg.eps))
+        chain.append(_adam_core())
         chain.append(optax.add_decayed_weights(wd))
     elif name == "adamax":
         chain.append(optax.scale_by_adamax(b1=b1, b2=b2, eps=cfg.eps))
@@ -98,10 +113,16 @@ def build_optimizer(
     elif name == "rmsprop":
         chain.append(optax.scale_by_rms(decay=0.99, eps=cfg.eps))
         if cfg.momentum:
-            chain.append(optax.trace(decay=cfg.momentum))
+            if b1_schedule is not None:
+                chain.append(optax.inject_hyperparams(optax.trace)(decay=b1_schedule))
+            else:
+                chain.append(optax.trace(decay=cfg.momentum))
     elif name in ("sgd", "asgd"):
         if cfg.momentum:
-            chain.append(optax.trace(decay=cfg.momentum))
+            if b1_schedule is not None:
+                chain.append(optax.inject_hyperparams(optax.trace)(decay=b1_schedule))
+            else:
+                chain.append(optax.trace(decay=cfg.momentum))
     elif name == "rprop":
         # rprop manages its own per-weight step sizes (schedule not
         # applicable) — but clipping/coupled weight decay collected in

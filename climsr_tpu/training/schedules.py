@@ -10,6 +10,12 @@ torch ``OneCycleLR`` (``conf/schedulers/one_cycle_schedule.yaml``):
   polynomial_decay_with_warmup (power, lr_end),
 - one_cycle: cos-anneal up from ``max_lr/div_factor`` over ``pct_start`` of
   the run, then cos-anneal down to ``max_lr/div_factor/final_div_factor``.
+  torch OneCycleLR defaults to ``cycle_momentum=True`` and co-anneals the
+  optimizer's momentum (Adam's beta1) INVERSELY to the lr — max_momentum at
+  the ends, base_momentum at the peak. The reference's scheduler yaml leaves
+  that default on, so its generators train with a cycled beta1;
+  ``one_cycle_momentum_schedule`` reproduces it (wired into the optimizer via
+  ``build_optimizer(b1_schedule=...)``).
 
 All return ``optax.Schedule`` (step -> lr). ``resolve_schedule`` also applies
 the reference's warmup semantics: float ``num_warmup_steps`` < 1 is a fraction
@@ -115,6 +121,33 @@ def one_cycle_schedule(
     return schedule
 
 
+def one_cycle_momentum_schedule(
+    num_training_steps: int,
+    pct_start: float = 0.05,
+    base_momentum: float = 0.85,
+    max_momentum: float = 0.95,
+) -> optax.Schedule:
+    """torch OneCycleLR's momentum co-cycle (cycle_momentum=True default).
+
+    Momentum anneals INVERSELY to the lr over the same phase boundaries:
+    max_momentum -> base_momentum while lr rises, back to max_momentum while
+    lr decays. For Adam optimizers torch writes this into ``betas[0]`` each
+    scheduler step (lr_scheduler.py OneCycleLR), so beta1 varies per step.
+    """
+    up_steps = max(1, int(math.ceil(pct_start * num_training_steps)) - 1)
+    down_steps = max(1, num_training_steps - up_steps - 1)
+
+    def schedule(step):
+        up = max_momentum + (base_momentum - max_momentum) * 0.5 * (
+            1.0 - jnp.cos(jnp.pi * jnp.minimum(step, up_steps) / up_steps)
+        )
+        pos = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
+        down = max_momentum + (base_momentum - max_momentum) * 0.5 * (1.0 + jnp.cos(jnp.pi * pos))
+        return jnp.where(step <= up_steps, up, down)
+
+    return schedule
+
+
 SCHEDULES = {
     "constant_schedule": constant_schedule,
     "constant_schedule_with_warmup": constant_schedule_with_warmup,
@@ -165,3 +198,23 @@ def resolve_schedule(cfg: Optional[SchedulerConfig], base_lr: float, num_trainin
     if name == "linear_schedule_with_warmup":
         return linear_schedule_with_warmup(base_lr, warmup, total)
     raise AssertionError(name)
+
+
+def resolve_momentum_schedule(
+    cfg: Optional[SchedulerConfig], num_training_steps: int
+) -> Optional[optax.Schedule]:
+    """Momentum (Adam beta1) co-schedule, or None when the lr schedule has none.
+
+    Only one_cycle cycles momentum (torch OneCycleLR cycle_momentum=True
+    default, which the reference's yaml does not override); every other
+    schedule in the group leaves optimizer momentum static.
+    """
+    if cfg is None or cfg.name != "one_cycle_schedule" or not cfg.cycle_momentum:
+        return None
+    total = cfg.num_training_steps if cfg.num_training_steps and cfg.num_training_steps > 0 else num_training_steps
+    return one_cycle_momentum_schedule(
+        num_training_steps=total,
+        pct_start=cfg.pct_start,
+        base_momentum=cfg.base_momentum,
+        max_momentum=cfg.max_momentum,
+    )

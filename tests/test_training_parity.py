@@ -246,6 +246,92 @@ def test_gan_step_gradient_golden(rng):
         _tree_allclose(jax.device_get(new_state.d_batch_stats), jax.device_get(want_bs), atol=1e-9)
 
 
+def test_twin_training_wd_and_one_cycle_schedule_srcnn(rng):
+    """60-step f64 twin run pinning what the constant-LR twins leave open:
+    Adam's COUPLED weight decay (torch adds wd*p to the gradient before the
+    moment update, ``conf/optimizers/adam.yaml`` wd) and per-step scheduler
+    semantics (the reference steps its schedulers with interval='step',
+    ``core/task.py:59``; generators default to OneCycleLR,
+    ``conf/schedulers/one_cycle_schedule.yaml``). Asserts (a) the optax
+    one_cycle lr AND beta1 traces equal torch OneCycleLR's at every step
+    (cycle_momentum=True is torch's default and the reference yaml keeps it,
+    so the generator's Adam beta1 cycles 0.95->0.85->0.95 — a parity gap this
+    test originally caught), and (b) the loss trajectory + endpoint params
+    agree at near-f64 precision — any decoupled-wd, off-by-one-schedule or
+    static-beta1 bug shows up orders of magnitude above the bound."""
+    torch.manual_seed(16)
+    ref = ref_models.srcnn.SRCNN(in_channels=3, out_channels=1).double().train()
+    sd0 = _sd_numpy(ref)
+
+    size, bs, steps = 16, 8, 60
+    xtr, ytr = _synthetic_sr_data(rng, 64, size)
+    order = np.stack([rng.permutation(64)[:bs] for _ in range(steps)])
+    max_lr, wd = 1e-3, 1e-4
+
+    # --- torch twin: Adam(coupled wd) + OneCycleLR stepped per batch ---
+    opt = _adam(ref.parameters(), lr=max_lr, wd=wd)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=steps, pct_start=0.05,
+        div_factor=2.0, final_div_factor=100.0,
+    )
+    loss_t, lr_t, b1_t = [], [], []
+    for s in range(steps):
+        i = order[s]
+        lr_t.append(float(opt.param_groups[0]["lr"]))
+        b1_t.append(float(opt.param_groups[0]["betas"][0]))
+        sr = ref(_nchw(xtr[i].astype(np.float64)))
+        loss = torch.nn.functional.mse_loss(sr, _nchw(ytr[i].astype(np.float64)))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        loss_t.append(float(loss.detach()))
+
+    with jax.enable_x64(True):
+        from climsr_tpu.training.schedules import (
+            one_cycle_momentum_schedule,
+            one_cycle_schedule,
+        )
+
+        schedule = one_cycle_schedule(
+            max_lr=max_lr, num_training_steps=steps, pct_start=0.05,
+            div_factor=2.0, final_div_factor=100.0,
+        )
+        b1_schedule = one_cycle_momentum_schedule(num_training_steps=steps, pct_start=0.05)
+        # (a) schedule trace parity: optax step s drives batch s's update,
+        # exactly like torch's pre-step LR/beta read above
+        lr_j = [float(schedule(s)) for s in range(steps)]
+        np.testing.assert_allclose(lr_j, lr_t, rtol=1e-9, atol=1e-15)
+        b1_j = [float(b1_schedule(s)) for s in range(steps)]
+        np.testing.assert_allclose(b1_j, b1_t, rtol=1e-9, atol=1e-15)
+
+        # (b) twin trajectory with schedule + momentum cycle + coupled wd
+        params = import_generator_params("srcnn", sd0)
+        model = create_generator("srcnn", out_channels=1, dtype=jnp.float64)
+        tx = build_optimizer(
+            _jax_adam_cfg(lr=max_lr, wd=wd), schedule=schedule, b1_schedule=b1_schedule
+        )
+        state = TrainState.create(params, tx)
+        step = make_pretrain_step(model, "srcnn", tx, compute_dtype=jnp.float64, donate=False)
+        loss_j = []
+        for s in range(steps):
+            i = order[s]
+            batch = {
+                B_lr: jnp.asarray(xtr[i], jnp.float64),
+                B_hr: jnp.asarray(ytr[i], jnp.float64),
+            }
+            state, metrics = step(state, batch)
+            loss_j.append(float(metrics["train/loss"]))
+
+        # residual drift is conv reduction-order noise amplified through 60
+        # coupled Adam steps (measured 5e-6 rel worst; a static beta1 gives
+        # 5e-2, decoupled wd ~1e-3 — three orders above the bound)
+        np.testing.assert_allclose(loss_j, loss_t, rtol=5e-5, atol=1e-9)
+        want = import_generator_params("srcnn", _sd_numpy(ref))
+        # same noise floor at the params (measured 8e-6 worst leaf element)
+        _tree_allclose(jax.device_get(state.params), jax.device_get(want), atol=5e-5, rtol=5e-3)
+
+
 # ---------------------------------------------------------------------------
 # Twin-training convergence (float32, 200 steps)
 # ---------------------------------------------------------------------------
@@ -408,8 +494,12 @@ def test_twin_training_convergence_gan(rng):
     documented semantics (D trains on the PRE-update generator's sr,
     training/tasks/gan.py docstring); loss_G/loss_D trajectories and the
     post-training validation RMSE must track. Extends the single-step GAN
-    gradient golden to whole-trajectory dynamics: BN running-stat feedback,
-    relativistic G/D coupling and two-optimizer interplay over time."""
+    gradient golden to whole-trajectory dynamics: BN batch-stat dynamics,
+    relativistic G/D coupling and two-optimizer interplay over time. The
+    30-step-accumulated BN *running* stats are consumed at the end by an
+    eval-mode (train=False) discriminator pass asserted against torch
+    .eval(), so the running-stat EMA chain is checked by an output that
+    actually normalizes with it."""
     torch.manual_seed(15)
     ref_g = ref_models.esrgan.ESRGANGenerator(
         in_channels=3, out_channels=1, nf=8, nb=1, gc=4, scaling_factor=4
@@ -513,3 +603,19 @@ def test_twin_training_convergence_gan(rng):
     )
     rms_ratio = np.sqrt(np.mean((out_j - out_t) ** 2)) / np.sqrt(np.mean(out_t**2))
     assert rms_ratio < 0.05, f"endpoint generator outputs diverged: RMS ratio {rms_ratio:.4f}"
+
+    # eval-mode discriminator pass: normalizes with the 30-step-accumulated
+    # running stats (train=False), so the BN EMA chain is consumed by an
+    # asserted output, not just updated
+    ref_d.eval()
+    with torch.no_grad():
+        d_out_t = ref_d(torch.from_numpy(np.transpose(hr_pool, (0, 3, 1, 2)).copy())).numpy()
+    d_out_j = np.asarray(
+        d_model.apply(
+            {"params": state.d_params, "batch_stats": state.d_batch_stats},
+            jnp.asarray(hr_pool),
+            train=False,
+        )
+    )
+    d_rms = np.sqrt(np.mean((d_out_j - d_out_t) ** 2)) / max(np.sqrt(np.mean(d_out_t**2)), 1e-6)
+    assert d_rms < 0.05, f"eval-mode D scores on accumulated running stats diverged: {d_rms:.4f}"
