@@ -205,6 +205,11 @@ class TrainerConfig:
     spatial_shard_size: int = 0
     spatial_shard_halo: int = 8  # LR rows of context exchanged per neighbor
     remat: bool = False  # rematerialize heavy blocks to save HBM
+    # PL parity (reference core/config.py:144): False, True ('power'), or
+    # 'binsearch'. TPU-native implementation: AOT-compile the train step at
+    # doubling batch sizes and read XLA's memory plan (training/batch_probe.py)
+    # instead of PL's catch-the-OOM trial fits. Pixel-loss tasks only.
+    auto_scale_batch_size: Any = False
     # augmentation + LR synthesis inside the jitted train step (ops/augment.py);
     # host then only ships raw normalized tiles
     device_augment: bool = True

@@ -137,6 +137,11 @@ class Trainer:
             self.mesh = create_mesh(trainer_cfg.num_devices, mesh_axes)
         self.batch_sharding = batch_sharding(self.mesh)
 
+        if getattr(trainer_cfg, "auto_scale_batch_size", False):
+            # must run BEFORE the loaders / num_training_steps inference so
+            # schedules and epoch lengths see the scaled batch (PL Tuner order)
+            self._auto_scale_batch_size()
+
         # ---- data loaders -------------------------------------------------
         cfg = self.dm.cfg
         self.device_augment = trainer_cfg.device_augment
@@ -413,10 +418,9 @@ class Trainer:
         self.early_stop_count = 0
 
         if trainer_cfg.resume_from_checkpoint:
-            restored = CheckpointManager(trainer_cfg.resume_from_checkpoint, save_top_k=0).restore(
-                jax.tree_util.tree_map(np.asarray, self._host_state())
+            self.state = CheckpointManager(trainer_cfg.resume_from_checkpoint, save_top_k=0).restore(
+                self._restore_state_template()
             )
-            self.state = self._place_state(restored)
             self.global_step = int(jax.device_get(self.state.step))
             logger.info("Resumed from %s at step %d", trainer_cfg.resume_from_checkpoint, self.global_step)
 
@@ -457,13 +461,13 @@ class Trainer:
         return state
 
     def _host_state(self):
-        """Host copy of the train state for checkpointing.
+        """Host copy of the train state (fine-tune grafts, tests, tools).
 
         Single-process: a plain ``device_get``. Under ``jax.distributed``
         ZeRO-sharded leaves span non-addressable devices, so the global value
-        is assembled with ``multihost_utils.process_allgather`` instead (every
-        process gets the full pytree; orbax then coordinates the actual
-        write). Fixes the round-2 finding on loop.py:447,460.
+        is assembled with ``multihost_utils.process_allgather``. NOT on the
+        checkpoint path anymore — saves hand orbax the sharded device arrays
+        directly (:meth:`_save_state`) so nothing re-replicates.
         """
         if jax.process_count() == 1:
             return jax.device_get(self.state)
@@ -474,6 +478,89 @@ class Trainer:
         return jax.tree_util.tree_map(
             np.asarray, multihost_utils.process_allgather(self.state, tiled=True)
         )
+
+    def _save_state(self):
+        """What goes into a checkpoint: the live GLOBAL device arrays.
+
+        Orbax consumes sharded ``jax.Array``s natively — every process writes
+        exactly its addressable shards (OCDBT), so a ZeRO-3 run never
+        re-assembles the full pytree on any single host (the round-3
+        ``process_allgather``-then-save path replicated everything to every
+        process). Donation-safe: orbax's async checkpointer snapshots
+        device->host synchronously inside ``save()``; only the disk write is
+        async, so the train step may donate these buffers immediately after.
+        """
+        return self.state
+
+    def _restore_state_template(self):
+        """Abstract restore target carrying each leaf's SHARDING, so orbax
+        restores straight onto the mesh layout ``_place_state`` chose (ZeRO
+        stages included) — each process reads only its shards, no host-side
+        full-pytree materialization, no re-placement pass."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array)
+            else x,
+            self.state,
+        )
+
+    def _auto_scale_batch_size(self) -> None:
+        """trainer.auto_scale_batch_size: grow datamodule.cfg.batch_size to the
+        largest power of two whose compiled-step memory plan fits HBM.
+
+        TPU-native replacement for PL's catch-the-OOM Tuner (reference
+        core/config.py:144): a throwaway pretrain step (same generator config,
+        remat and precision as the real one) is AOT-compiled at doubling batch
+        sizes on abstract inputs and XLA's memory_analysis is read — nothing
+        runs, nothing can OOM (training/batch_probe.py). Probes the plain
+        pixel-loss step: device-augment/ZeRO/spatial variants shift the plan
+        by less than the probe's 10% headroom; GAN tasks are declined (the
+        D+VGG graph belongs to the task, and no reference experiment tunes it).
+        """
+        cfg = self.dm.cfg
+        mode = self.trainer_cfg.auto_scale_batch_size
+        if self.is_gan:
+            logger.warning(
+                "auto_scale_batch_size supports pixel-loss tasks only; keeping "
+                "batch_size=%d for the GAN task", cfg.batch_size,
+            )
+            return
+        from climsr_tpu.training.batch_probe import probe_max_batch_size
+
+        gen_kwargs = {
+            k: getattr(self.generator_cfg, k) for k in _GENERATOR_KWARGS if hasattr(self.generator_cfg, k)
+        }
+        gen_kwargs["remat"] = self.trainer_cfg.remat
+        gen_kwargs["use_pallas"] = getattr(self.generator_cfg, "use_pallas", None)
+        model = create_generator(self.generator_type, dtype=self.compute_dtype, **gen_kwargs)
+        sample = self._example_inputs(cfg)
+        if self.generator_type in FUSION_GENERATORS:
+            variables = model.init(jax.random.PRNGKey(0), *sample)
+        else:
+            variables = model.init(jax.random.PRNGKey(0), sample[0])
+        opt_cfg = self.optimizers_cfg.get(T.generator_optimizer_key) or OptimizerConfig(
+            lr=self.training_cfg.lr
+        )
+        tx = build_optimizer(opt_cfg, lambda s: opt_cfg.lr)
+        state = TrainState.create(variables["params"], tx)
+        step = make_pretrain_step(
+            model, self.generator_type, tx, compute_dtype=self.compute_dtype, donate=False
+        )
+        B = consts.batch_items
+        lr_shape = sample[0].shape[1:]
+        hr = self.dm.train_dataset.hr_size
+        template = {B.lr: jnp.zeros((1,) + lr_shape, self.compute_dtype),
+                    B.hr: jnp.zeros((1, hr, hr, 1), self.compute_dtype)}
+        if self.generator_type in FUSION_GENERATORS:
+            template[B.elevation] = jnp.zeros((1, hr, hr, 1), self.compute_dtype)
+            template[B.mask] = jnp.zeros((1, hr, hr, 1), self.compute_dtype)
+        new_bs = probe_max_batch_size(
+            step, state, template, start=cfg.batch_size,
+            mode="power" if mode is True else str(mode),
+        )
+        if new_bs != cfg.batch_size:
+            logger.info("auto_scale_batch_size: %d -> %d", cfg.batch_size, new_bs)
+            cfg.batch_size = new_bs
 
     def _example_inputs(self, cfg):
         from climsr_tpu.models import PRE_UPSCALED_GENERATORS
@@ -611,7 +698,7 @@ class Trainer:
                 # force=True: the preemption save must land even when
                 # save_top_k=0 disabled regular checkpointing
                 self.ckpt.save(
-                    self.global_step, self._host_state(), hp_metric=None,
+                    self.global_step, self._save_state(), hp_metric=None,
                     config=self.config_snapshot, force=True,
                 )
                 self.ckpt.wait()
@@ -625,7 +712,7 @@ class Trainer:
                 hp_metric = last_val.get("hp_metric")
                 self.ckpt.save(
                     self.global_step,
-                    self._host_state(),
+                    self._save_state(),
                     hp_metric=hp_metric,
                     config=self.config_snapshot,
                 )

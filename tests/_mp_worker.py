@@ -169,7 +169,9 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
         print(f"MP-RESUME-HP p{process_id} {hp2:.6f}", flush=True)
 
         # GAN fit across the 2-process mesh: fused G+D step, BN batch_stats in
-        # the state, top-k checkpoint of a GANTrainState via process_allgather
+        # the state, top-k checkpoint of a GANTrainState saved shard-by-shard
+        # (orbax consumes the global sharded jax.Arrays directly; round-4
+        # change away from the replicate-everything process_allgather path)
         # (tiny nets, no VGG graph — perceptual factor 0 skips building it)
         hp3 = train_main([
             "experiment=esrgan_fine_tune_no_gan_pre_training",
