@@ -29,10 +29,11 @@ stack incl. HR-scale head + fusion SRCNN); RTX 3090 fp32 ~35.6 TFLOP/s peak at
 a generous 35% conv utilization + batch-1 dispatch overhead gives
 ~15 Mpix-HR/s. vs_baseline is measured throughput over that estimate; the
 BASELINE.json north star (>=5x) corresponds to vs_baseline >= 5.
-Besides the headline inference JSON line (stdout), a second JSON line with the
-flagship *training-step* throughput (fused forward+backward+adam, bs=192, the
-reference's pre-training batch) is printed to stderr so the driver-captured
-tail records training perf each round too.
+Besides the headline inference JSON line (stdout), two more JSON lines go to
+stderr so the driver-captured tail records them each round: the flagship
+*training-step* throughput (fused forward+backward+adam, bs=192, the
+reference's pre-training batch) and the *whole-globe e2e* months/s (full
+pipeline incl. NetCDF read, tiled SR, GeoTIFF writes — the production sweep).
 
 Tile-geometry note: this benchmark runs 32x32-LR tiles — the training-tile
 geometry, where the Pallas trunk is eligible and engaged. The shipped tiled
@@ -53,6 +54,12 @@ FLOPS_PER_LR_PIXEL = 11.55e6  # ESRGAN nb=11 gc=16 analytic conv FLOPs
 # on the RTX-3090 fp16 training path at the same generous 35%-of-peak conv
 # utilization used for the inference anchor -> ~700 samples/s (BASELINE.md)
 BASELINE_TRAIN_SAMPLES_S = 700.0
+# whole-globe anchor: the reference inference loop (inference.py:48-70) runs
+# whole 360x720 LR frames, batch=1, fp32 on the RTX-3090 — 360*720*11.55 MFLOP
+# = 3.0 TFLOP/month at the same 35%-of-peak utilization (12.5 TF/s) is 0.24 s
+# compute, plus rasterio GeoTIFF write of the 1440x2880 HR frame (~0.1 s
+# observed for our own codec at this size) -> ~3 months/s
+BASELINE_GLOBE_MONTHS_S = 3.0
 
 
 def bench_train_step() -> None:
@@ -117,6 +124,37 @@ def bench_train_step() -> None:
                 "value": round(sps, 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / BASELINE_TRAIN_SAMPLES_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def bench_whole_globe() -> None:
+    """Production path: CRU-TS-sized months through the FULL pipeline.
+
+    NetCDF read -> normalization -> overlap-tiled SR on device -> denorm ->
+    masked GeoTIFF writes (scripts/bench_whole_globe.py). Reported as the
+    warm-sweep months/s so the driver records the e2e number each round
+    (the product's reason to exist is the 1440-month CRU-TS sweep).
+    """
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_whole_globe", Path(__file__).parent / "scripts" / "bench_whole_globe.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rates = mod.run(months=28, json_line=True)
+    months_s = rates["months_per_s_steady"]
+    print(
+        json.dumps(
+            {
+                "metric": "whole_globe_e2e_throughput",
+                "value": round(months_s, 3),
+                "unit": "months/s/chip",
+                "vs_baseline": round(months_s / BASELINE_GLOBE_MONTHS_S, 2),
             }
         ),
         file=sys.stderr,
@@ -231,8 +269,11 @@ if __name__ == "__main__":
         bench_train_step()
     elif "--inference-only" in sys.argv:
         main()
+    elif "--globe-only" in sys.argv:
+        bench_whole_globe()
     else:
         _run_guarded("--train-only", 900, "train-step")
+        _run_guarded("--globe-only", 1800, "whole-globe e2e")
         ok = _run_guarded("--inference-only", 2400, "inference")
         if not ok:
             sys.exit(1)  # no headline JSON was printed — fail loudly, never hang

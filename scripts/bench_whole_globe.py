@@ -3,10 +3,12 @@
 """Whole-globe e2e throughput: CRU-TS-sized series through the full pipeline.
 
 Builds a synthetic full-size world (360x720 LR months + 1440x2880 elevation /
-land mask), runs `inference_on_full_images` with the flagship generator (the
-shipped auto-tiled path: 128px Pallas tiles, pipelined writer pool) including
-GeoTIFF writes, and reports months/s. Round-2 baseline on this host: 0.20
-months/s with the serial write path.
+land mask at the real ~29% land fraction), runs `inference_on_full_images`
+with the flagship generator (the shipped auto-tiled path: 128px Pallas tiles,
+on-device denorm, land-packed readback, pipelined writer pool) including
+GeoTIFF writes, and reports the steady-state months/s via differenced sweeps.
+History on this host: round 2 = 0.20 months/s (serial writes), round 3 = 0.29
+(pipelined writer, full-frame f16 readback, per-sweep setup un-amortized).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_whole_globe.py [months]
 """
@@ -34,8 +36,25 @@ from climsr_tpu.io.netcdf import ClimateSeries, write_climate_series
 from climsr_tpu.models import create_generator
 
 
-def main() -> None:
-    months = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+def run(months: int = 28, json_line: bool = False, warmup_months: int = 4) -> dict:
+    """Build the synthetic globe and measure the STEADY-STATE e2e rate.
+
+    Three sweeps through ``inference_on_full_images`` (full pipeline: NetCDF
+    read -> normalization -> overlap-tiled SR on device -> on-device denorm ->
+    land-packed readback -> GeoTIFF writes):
+
+      1. cold, ``warmup_months`` (includes the one-time tiled-jit compile),
+      2. warm, ``warmup_months``    — carries the per-sweep fixed overhead
+         (re-trace of the tiled jit, compile-cache load, extras upload),
+      3. warm, ``months``.
+
+    Steady months/s = (months - warmup_months) / (t3 - t2): the differencing
+    removes the per-sweep setup that a real 1440-month production run
+    amortizes to nothing but that dominates any single short sweep (measured
+    ~18 s setup vs 0.35 s/month marginal on the tunnel-attached v5e). The
+    land mask is thresholded to the real CRU-TS land fraction (~29% of the
+    0.5-degree globe) — the packed readback and write sizes match production.
+    """
     h, w, scale = 360, 720, 4
     hr_h, hr_w = h * scale, w * scale
     rng = np.random.default_rng(0)
@@ -50,19 +69,42 @@ def main() -> None:
     write_climate_series(
         nc, ClimateSeries("tmp", data, tstamps, np.linspace(-89, 89, h), np.linspace(-179, 179, w))
     )
-    mask_hr = np.ones((hr_h, hr_w), np.float32)
-    mask_hr[: 40 * scale, :] = np.nan
+    # smooth random field thresholded at the real CRU-TS land fraction: 29%
+    # of cells are land (continent-scale blobs, not salt-and-pepper)
+    field = rng.normal(size=(hr_h // 40, hr_w // 40)).astype(np.float32)
+    field = np.kron(field, np.ones((40, 40), np.float32))
+    for ax in (0, 1):  # cheap separable smoothing
+        acc = np.zeros_like(field)
+        for d in range(-20, 21):
+            acc += np.roll(field, d, axis=ax)
+        field = acc / 41
+    mask_hr = np.where(field >= np.quantile(field, 0.71), 1.0, np.nan).astype(np.float32)
+    mask_hr[: 40 * scale, :] = np.nan  # keep the polar strip ocean
     write_geotiff(root / "land_mask.tif", mask_hr, GeoProfile.global_grid(hr_h, hr_w))
     elev = rng.normal(500, 300, size=(hr_h, hr_w)).astype(np.float32)
     write_geotiff(root / "elevation.tif", elev, GeoProfile.global_grid(hr_h, hr_w, nodata=None))
 
-    ds = CRUTSInferenceDataset(
-        ds_path=str(nc),
-        elevation_file=str(root / "elevation.tif"),
-        land_mask_file=str(root / "land_mask.tif"),
-        generator_type="esrgan",
-        scaling_factor=scale,
+    # a short warmup series in its own NetCDF: sweeps 1-2 run these few months
+    nc_warm = root / "warmup.tmp.dat.nc"
+    write_climate_series(
+        nc_warm,
+        ClimateSeries(
+            "tmp", data[:warmup_months], tstamps[:warmup_months],
+            np.linspace(-89, 89, h), np.linspace(-179, 179, w),
+        ),
     )
+
+    def make_ds(path):
+        return CRUTSInferenceDataset(
+            ds_path=str(path),
+            elevation_file=str(root / "elevation.tif"),
+            land_mask_file=str(root / "land_mask.tif"),
+            generator_type="esrgan",
+            scaling_factor=scale,
+        )
+
+    ds_warm = make_ds(nc_warm)
+    ds = make_ds(nc)
     model = create_generator(
         "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=True
     )
@@ -78,18 +120,50 @@ def main() -> None:
         jnp.ones((1, 128, 128, 1), jnp.bfloat16),
     )["params"]
 
-    out_dir = root / "sr" / "tmp"
-    # sweep 1 includes the one-time tiled-jit compile; sweep 2 is steady state
+    # sweep 1 (cold, warmup months): one-time tiled-jit compile
     t0 = time.perf_counter()
-    inference_on_full_images(model, params, ds, str(out_dir), "esrgan", batch_size=8)
+    inference_on_full_images(model, params, ds_warm, str(root / "sr1" / "tmp"), "esrgan", batch_size=8)
     t1 = time.perf_counter()
-    out_dir2 = root / "sr2" / "tmp"
-    inference_on_full_images(model, params, ds, str(out_dir2), "esrgan", batch_size=8)
+    # sweep 2 (warm, warmup months): carries only the per-sweep fixed setup
+    inference_on_full_images(model, params, ds_warm, str(root / "sr2" / "tmp"), "esrgan", batch_size=8)
     t2 = time.perf_counter()
-    n_out = len(list(out_dir2.glob("*.tif")))
-    print(f"e2e cold (incl compile): {months} months in {t1 - t0:.1f}s = {months / (t1 - t0):.3f} months/s")
-    print(f"e2e warm: {months} months in {t2 - t1:.1f}s = {months / (t2 - t1):.3f} months/s ({n_out} GeoTIFFs)")
-    print(f"outputs under {root}")
+    # sweep 3 (warm, all months): same fixed setup + (months - warmup) more
+    out_dir3 = root / "sr3" / "tmp"
+    inference_on_full_images(model, params, ds, str(out_dir3), "esrgan", batch_size=8)
+    t3 = time.perf_counter()
+    n_out = len(list(out_dir3.glob("*.tif")))
+    assert n_out == months, (n_out, months)
+    cold = warmup_months / (t1 - t0)
+    warm_short = warmup_months / (t2 - t1)
+    steady = (months - warmup_months) / max(t3 - t2 - (t2 - t1), 1e-9)
+    eff_mpix_s = steady * hr_h * hr_w / 1e6
+    out = sys.stderr if json_line else sys.stdout
+    print(
+        f"# e2e cold (incl compile): {warmup_months} months in {t1 - t0:.1f}s = {cold:.3f} months/s",
+        file=out,
+    )
+    print(
+        f"# e2e warm short sweep: {warmup_months} months in {t2 - t1:.1f}s = {warm_short:.3f} months/s "
+        f"(per-sweep setup dominated)",
+        file=out,
+    )
+    print(
+        f"# e2e steady state (differenced): {months - warmup_months} marginal months in "
+        f"{t3 - t2 - (t2 - t1):.1f}s = {steady:.3f} months/s = {eff_mpix_s:.1f} Mpix-HR/s "
+        f"({n_out} GeoTIFFs) under {root}",
+        file=out,
+    )
+    return {
+        "months_per_s_steady": steady,
+        "months_per_s_cold": cold,
+        "months_per_s_warm_short": warm_short,
+        "eff_mpix_hr_s": eff_mpix_s,
+    }
+
+
+def main() -> None:
+    months = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 28
+    run(months)
 
 
 if __name__ == "__main__":

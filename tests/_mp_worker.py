@@ -15,6 +15,11 @@ def main(coordinator: str, num_processes: int, process_id: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
+    # same persistent compile cache as conftest.py: the two fresh worker
+    # processes otherwise recompile every jit on every suite run (the single
+    # largest chunk of this test's ~2-9 min wall time)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(coordinator, num_processes=num_processes, process_id=process_id)
 
     import numpy as np

@@ -315,6 +315,49 @@ def test_tiled_sr_with_extras_matches_whole_frame(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_tiled_sr_device_denorm_and_land_pack(rng):
+    """The e2e sweep's fused path: post_fn denormalizes on device with
+    per-frame scalars and pack_indices gathers only land pixels — the packed
+    readback scattered into a NaN canvas must equal the legacy host path
+    (full-frame readback, host denormalize, np.where ocean mask)."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.data.normalization import MinMaxScaler
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr):
+        return nearest_upsample(lr[..., :1], 4) * 0.5
+
+    scaler = MinMaxScaler(feature_range=(-1.0, 1.0))
+    frame = rng.uniform(-1, 1, size=(64, 96, 1)).astype(np.float32)
+    mask = rng.uniform(size=(256, 384)) > 0.7  # ~30% land, like real CRU-TS
+    land_idx = np.flatnonzero(mask.ravel()).astype(np.int32)
+    vmin, vmax = -5.0, 40.0
+
+    def post(out, args):
+        return scaler.denormalize(out, args[0], args[1])
+
+    packed = TiledSR(
+        fn, scale=4, tile_size=32, overlap=8, batch_size=4,
+        compute_dtype=jnp.float32, post_fn=post, pack_indices=land_idx,
+    )
+    vals = np.asarray(packed.device_call(frame, post_args=(vmin, vmax))).astype(np.float32)
+    assert vals.shape == (land_idx.size,)
+    got = np.full((256, 384), np.nan, np.float32)
+    got.ravel()[land_idx] = vals
+
+    legacy = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    arr = np.asarray(legacy(frame))[..., 0].astype(np.float32)
+    want = np.where(mask, scaler.denormalize(arr, vmin, vmax), np.nan).astype(np.float32)
+
+    np.testing.assert_allclose(got, want, atol=1e-4, equal_nan=True)
+
+    # undersized frames must refuse pack (pre-padding would misalign the gather)
+    with pytest.raises(ValueError, match="pack_indices"):
+        packed.device_call(rng.normal(size=(16, 16, 1)).astype(np.float32))
+
+
 def test_tiled_sr_undersized_frame_with_extras(rng):
     """A frame smaller than the tile gets reflect-pre-padded host-side; the HR
     extras must be padded consistently or the in-jit tile slicing mismatches."""
