@@ -71,12 +71,16 @@ def build_perceptual_loss(
                     "run. scripts/fetch_vgg19.py upgrades it."
                 )
 
+    # the L1 reduction runs at (at least) f32 regardless of the bf16 compute
+    # dtype; a true f64 run (the parity goldens) keeps f64 end to end
+    acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
+
     def perceptual_fn(fake_high_resolution: jax.Array, high_resolution: jax.Array) -> jax.Array:
         def compute(fake, real):
             fake3 = jnp.concatenate([fake] * 3, axis=-1).astype(compute_dtype)
             real3 = jnp.concatenate([real] * 3, axis=-1).astype(compute_dtype)
-            f_fake = model.apply(variables, fake3).astype(jnp.float32)
-            f_real = model.apply(variables, real3).astype(jnp.float32)
+            f_fake = model.apply(variables, fake3).astype(acc_dtype)
+            f_real = model.apply(variables, real3).astype(acc_dtype)
             # reference arg order: l1(net(high_resolution), net(fake)) — symmetric anyway
             return jnp.mean(jnp.abs(f_real - f_fake))
 

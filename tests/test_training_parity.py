@@ -607,6 +607,10 @@ def test_twin_training_convergence_gan(rng):
     # eval-mode discriminator pass: normalizes with the 30-step-accumulated
     # running stats (train=False), so the BN EMA chain is consumed by an
     # asserted output, not just updated
+    _consume_running_stats(ref_d, d_model, state, hr_pool)
+
+
+def _consume_running_stats(ref_d, d_model, state, hr_pool):
     ref_d.eval()
     with torch.no_grad():
         d_out_t = ref_d(torch.from_numpy(np.transpose(hr_pool, (0, 3, 1, 2)).copy())).numpy()
@@ -619,3 +623,220 @@ def test_twin_training_convergence_gan(rng):
     )
     d_rms = np.sqrt(np.mean((d_out_j - d_out_t) ** 2)) / max(np.sqrt(np.mean(d_out_t**2)), 1e-6)
     assert d_rms < 0.05, f"eval-mode D scores on accumulated running stats diverged: {d_rms:.4f}"
+
+
+def test_gan_differentiable_perceptual_gradient_golden(rng):
+    """EXACT f64 golden for task.differentiable_perceptual=true: one fused GAN
+    step with the perceptual gradient flowing (torch twin computes the VGG-
+    feature L1 withOUT no_grad) on shared VGG weights must reproduce torch's
+    loss and updated generator params at 1e-9. Falsifiable by construction:
+    the stop-gradient variant's updated params are asserted to differ
+    materially — the perceptual pull is orders above the tolerance."""
+    from test_vgg_parity import _torch_vgg19_features
+
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+    from climsr_tpu.models.vgg import load_torchvision_weights
+
+    torch.manual_seed(18)
+    features = _torch_vgg19_features().double()
+    truncated = features[:8]  # conv2_2 pre-ReLU
+    for p_ in truncated.parameters():
+        p_.requires_grad = False
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    with jax.enable_x64(True):
+        # converted INSIDE the x64 scope: jnp.asarray would otherwise round
+        # the f64 torch weights to f32 and cap agreement at ~1e-7
+        vgg_vars = load_torchvision_weights(sd)
+
+    ref_g = ref_models.esrgan.ESRGANGenerator(
+        in_channels=3, out_channels=1, nf=8, nb=1, gc=4, scaling_factor=4
+    ).double().train()
+    ref_d = ref_models.discriminator.Discriminator(in_channels=1).double().train()
+    g_sd0, d_sd0 = _sd_numpy(ref_g), _sd_numpy(ref_d)
+
+    n, hr_size = 2, 128
+    x = rng.normal(size=(n, 32, 32, 3))
+    hr = rng.normal(size=(n, hr_size, hr_size, 1))
+    elev = rng.normal(size=(n, hr_size, hr_size, 1))
+    mask = np.ones((n, hr_size, hr_size, 1), np.float64)
+    pixel_w, perc_w, adv_w = 0.01, 1.0, 0.005
+    bce = torch.nn.BCEWithLogitsLoss()
+    real_l = torch.ones((n, 1), dtype=torch.float64)
+    fake_l = torch.zeros((n, 1), dtype=torch.float64)
+
+    g_opt = _adam(ref_g.parameters())
+    d_opt = _adam(ref_d.parameters())
+    sr_t = ref_g(_nchw(x), _nchw(elev), _nchw(mask))
+    score_real, score_fake = ref_d(_nchw(hr)), ref_d(sr_t)
+    adv = (bce(score_fake - score_real.mean(), real_l)
+           + bce(score_real - score_fake.mean(), fake_l)) / 2
+    sr3 = torch.cat([sr_t] * 3, dim=1)
+    hr3 = torch.cat([_nchw(hr)] * 3, dim=1)
+    perc = torch.nn.functional.l1_loss(truncated(hr3), truncated(sr3))  # WITH grad
+    loss_g_t = (pixel_w * torch.nn.functional.l1_loss(sr_t, _nchw(hr))
+                + perc_w * perc + adv_w * adv)
+    g_opt.zero_grad()
+    d_opt.zero_grad()
+    loss_g_t.backward()
+    g_opt.step()
+
+    with jax.enable_x64(True):
+        def run(differentiable):
+            perceptual_fn = build_perceptual_loss(
+                differentiable=differentiable, compute_dtype=jnp.float64,
+                cutoff="conv2_2", variables=vgg_vars,
+            )
+            g_params = import_generator_params("esrgan", g_sd0)
+            d_params, d_bs = import_discriminator_params(d_sd0)
+            g_model = create_generator("esrgan", out_channels=1, nf=8, nb=1, gc=4, dtype=jnp.float64)
+            d_model = create_discriminator("esrgan", in_channels=1, dtype=jnp.float64)
+            g_tx = build_optimizer(_jax_adam_cfg(), schedule=lambda s: 1e-3)
+            d_tx = build_optimizer(_jax_adam_cfg(), schedule=lambda s: 1e-3)
+            state = GANTrainState.create(g_params, g_tx, d_params, d_tx, d_bs)
+            step = make_gan_step(
+                g_model, d_model, "esrgan", g_tx, d_tx,
+                pixel_weight=pixel_w, perceptual_weight=perc_w, adversarial_weight=adv_w,
+                perceptual_fn=perceptual_fn, compute_dtype=jnp.float64, donate=False,
+            )
+            batch = {
+                B_lr: jnp.asarray(x), B_hr: jnp.asarray(hr),
+                B_elev: jnp.asarray(elev), B_mask: jnp.asarray(mask),
+            }
+            new_state, metrics = step(state, batch)
+            return new_state, metrics
+
+        new_state, metrics = run(differentiable=True)
+        np.testing.assert_allclose(float(metrics["train/loss_G"]), float(loss_g_t), atol=1e-10, rtol=1e-10)
+        want_g = import_generator_params("esrgan", _sd_numpy(ref_g))
+        _tree_allclose(jax.device_get(new_state.g_params), jax.device_get(want_g), atol=1e-9)
+
+        # falsifiability: without the perceptual gradient the G update differs
+        # by far more than the tolerance above
+        ng_state, _ = run(differentiable=False)
+        flat_diff = [
+            float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(ng_state.g_params)),
+                jax.tree_util.tree_leaves(jax.device_get(want_g)),
+            )
+        ]
+        assert max(flat_diff) > 1e-5, (
+            f"stop-gradient control matched the with-grad golden ({max(flat_diff):.2e}); "
+            "the golden above is vacuous"
+        )
+
+
+@pytest.mark.e2e
+def test_twin_training_gan_differentiable_perceptual(rng):
+    """10 fused GAN steps with task.differentiable_perceptual=true vs a torch
+    twin whose VGG-feature L1 keeps its gradient (the reference's opt-out of
+    the no-grad quirk), at reference-like loss weights. Both stacks share the
+    SAME VGG weights, so trajectory + endpoint agreement proves the perceptual
+    gradient flows into the generator identically over time (the exact-math
+    falsifiability lives in the f64 golden above)."""
+    from test_vgg_parity import _torch_vgg19_features
+
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+    from climsr_tpu.models.vgg import load_torchvision_weights
+
+    torch.manual_seed(17)
+    features = _torch_vgg19_features()
+    truncated = features[:8]  # conv2_2 pre-ReLU (cheap cutoff, same both sides)
+    for p in truncated.parameters():
+        p.requires_grad = False
+    sd = {f"features.{k}": v.detach().numpy() for k, v in features.state_dict().items()}
+    vgg_vars = load_torchvision_weights(sd)
+
+    ref_g = ref_models.esrgan.ESRGANGenerator(
+        in_channels=3, out_channels=1, nf=8, nb=1, gc=4, scaling_factor=4
+    ).train()
+    ref_d = ref_models.discriminator.Discriminator(in_channels=1).train()
+    g_sd0, d_sd0 = _sd_numpy(ref_g), _sd_numpy(ref_d)
+
+    hr_size, bs, steps = 128, 2, 10
+    _, hr_pool = _synthetic_sr_data(rng, 8, hr_size)
+    lr0 = hr_pool[:, ::4, ::4, 0]
+    lr_pool = np.stack([lr0, np.zeros_like(lr0), np.ones_like(lr0)], axis=-1).astype(np.float32)
+    elev_pool = np.zeros((8, hr_size, hr_size, 1), np.float32)
+    mask_pool = np.ones((8, hr_size, hr_size, 1), np.float32)
+    order = np.stack([rng.permutation(8)[:bs] for _ in range(steps)])
+    lr = 1e-4
+    pixel_w, perc_w, adv_w = 0.01, 0.05, 0.005
+
+    def perc_torch(sr, hr_t):  # WITH grad — torch mirror of differentiable=True
+        sr3 = torch.cat([sr] * 3, dim=1)
+        hr3 = torch.cat([hr_t] * 3, dim=1)
+        return torch.nn.functional.l1_loss(truncated(hr3), truncated(sr3))
+
+    g_opt = _adam(ref_g.parameters(), lr=lr, wd=0.0)
+    d_opt = _adam(ref_d.parameters(), lr=lr, wd=0.0)
+    bce = torch.nn.BCEWithLogitsLoss()
+    real_l, fake_l = torch.ones((bs, 1)), torch.zeros((bs, 1))
+    hist_t = []
+    for s in range(steps):
+        i = order[s]
+        x_t, hr_t = _nchw(lr_pool[i]), _nchw(hr_pool[i])
+        sr = ref_g(x_t, _nchw(elev_pool[i]), _nchw(mask_pool[i]))
+        score_real, score_fake = ref_d(hr_t), ref_d(sr)
+        adv = (bce(score_fake - score_real.mean(), real_l)
+               + bce(score_real - score_fake.mean(), fake_l)) / 2
+        loss_g = (pixel_w * torch.nn.functional.l1_loss(sr, hr_t)
+                  + perc_w * perc_torch(sr, hr_t) + adv_w * adv)
+        g_opt.zero_grad()
+        d_opt.zero_grad()
+        loss_g.backward()
+        g_opt.step()
+        sr_det = sr.detach()
+        score_real, score_fake = ref_d(hr_t), ref_d(sr_det)
+        loss_d = (bce(score_fake - score_real.mean(), fake_l)
+                  + bce(score_real - score_fake.mean(), real_l)) / 2
+        d_opt.zero_grad()
+        loss_d.backward()
+        d_opt.step()
+        hist_t.append((float(loss_g.detach()), float(loss_d.detach())))
+    hist_t = np.asarray(hist_t)
+
+    def run_jax(differentiable: bool) -> np.ndarray:
+        perceptual_fn = build_perceptual_loss(
+            differentiable=differentiable, compute_dtype=jnp.float32,
+            cutoff="conv2_2", variables=vgg_vars,
+        )
+        g_params = import_generator_params("esrgan", g_sd0)
+        d_params, d_bs = import_discriminator_params(d_sd0)
+        g_model = create_generator("esrgan", out_channels=1, nf=8, nb=1, gc=4, dtype=jnp.float32)
+        d_model = create_discriminator("esrgan", in_channels=1, dtype=jnp.float32)
+        cfg = OptimizerConfig(name="adam", lr=lr, weight_decay=0.0)
+        g_tx, d_tx = build_optimizer(cfg, lambda s: lr), build_optimizer(cfg, lambda s: lr)
+        state = GANTrainState.create(g_params, g_tx, d_params, d_tx, d_bs)
+        step = make_gan_step(
+            g_model, d_model, "esrgan", g_tx, d_tx,
+            pixel_weight=pixel_w, perceptual_weight=perc_w, adversarial_weight=adv_w,
+            perceptual_fn=perceptual_fn, compute_dtype=jnp.float32, donate=False,
+        )
+        hist = []
+        for s in range(steps):
+            i = order[s]
+            batch = {
+                B_lr: jnp.asarray(lr_pool[i]), B_hr: jnp.asarray(hr_pool[i]),
+                B_elev: jnp.asarray(elev_pool[i]), B_mask: jnp.asarray(mask_pool[i]),
+            }
+            state, metrics = step(state, batch)
+            hist.append((float(metrics["train/loss_G"]), float(metrics["train/loss_D"])))
+        return np.asarray(hist), endpoint_rms(state, g_model)
+
+    def endpoint_rms(state, g_model):
+        with torch.no_grad():
+            out_t = ref_g(_nchw(lr_pool), _nchw(elev_pool), _nchw(mask_pool)).numpy()
+        out_j = np.transpose(
+            np.asarray(g_model.apply(
+                {"params": state.g_params},
+                jnp.asarray(lr_pool), jnp.asarray(elev_pool), jnp.asarray(mask_pool),
+            )),
+            (0, 3, 1, 2),
+        )
+        return np.sqrt(np.mean((out_j - out_t) ** 2)) / np.sqrt(np.mean(out_t ** 2))
+
+    hist_j, rms_diff = run_jax(differentiable=True)
+    np.testing.assert_allclose(hist_j[:, 0], hist_t[:, 0], rtol=0.05, atol=5e-3)
+    np.testing.assert_allclose(hist_j[:, 1], hist_t[:, 1], rtol=0.05, atol=5e-3)
+    assert rms_diff < 0.02, f"endpoint generator diverged from torch twin: {rms_diff:.4f}"
