@@ -135,7 +135,17 @@ def run(months: int = 28, json_line: bool = False, warmup_months: int = 4) -> di
     assert n_out == months, (n_out, months)
     cold = warmup_months / (t1 - t0)
     warm_short = warmup_months / (t2 - t1)
-    steady = (months - warmup_months) / max(t3 - t2 - (t2 - t1), 1e-9)
+    marginal = t3 - t2 - (t2 - t1)
+    # differencing sanity floor: the subtraction assumes the per-sweep setup
+    # reproduces between sweeps 2 and 3. If the residual is under 25% of the
+    # big sweep, something perturbed one of them (host contention) and the
+    # differenced rate would over-report — fall back to the conservative
+    # undifferenced rate for the marginal months instead.
+    if marginal < 0.25 * (t3 - t2):
+        marginal = t3 - t2
+        print("# differencing unstable (setup did not reproduce); reporting the "
+              "setup-inclusive rate", file=sys.stderr if json_line else sys.stdout)
+    steady = (months - warmup_months) / marginal
     eff_mpix_s = steady * hr_h * hr_w / 1e6
     out = sys.stderr if json_line else sys.stdout
     print(
@@ -148,8 +158,8 @@ def run(months: int = 28, json_line: bool = False, warmup_months: int = 4) -> di
         file=out,
     )
     print(
-        f"# e2e steady state (differenced): {months - warmup_months} marginal months in "
-        f"{t3 - t2 - (t2 - t1):.1f}s = {steady:.3f} months/s = {eff_mpix_s:.1f} Mpix-HR/s "
+        f"# e2e steady state: {months - warmup_months} marginal months in "
+        f"{marginal:.1f}s = {steady:.3f} months/s = {eff_mpix_s:.1f} Mpix-HR/s "
         f"({n_out} GeoTIFFs) under {root}",
         file=out,
     )

@@ -625,6 +625,7 @@ def _consume_running_stats(ref_d, d_model, state, hr_pool):
     assert d_rms < 0.05, f"eval-mode D scores on accumulated running stats diverged: {d_rms:.4f}"
 
 
+@pytest.mark.e2e
 def test_gan_differentiable_perceptual_gradient_golden(rng):
     """EXACT f64 golden for task.differentiable_perceptual=true: one fused GAN
     step with the perceptual gradient flowing (torch twin computes the VGG-
