@@ -138,8 +138,17 @@ def inference_on_full_images(
 
             out_scale = 1 if generator_type in PRE_UPSCALED_GENERATORS else scaling_factor
             scales = (1, out_scale, out_scale) if extras is not None else (1,)
+            shard_fn = gen_fn
+            if hasattr(model, "spatial_axis"):
+                # global-pooling models (RCAN channel attention): clone with
+                # the mesh axis so the pool psums over the whole frame instead
+                # of each shard's local window (see models/rcan.py CALayer)
+                shard_fn = make_generator_fn(
+                    model.clone(spatial_axis="data", spatial_halo=spatial_halo),
+                    params, generator_type,
+                )
             sharded_fn = spatial_sharded_apply_multi(
-                gen_fn, mesh, halo=spatial_halo, scale=out_scale, input_scales=scales
+                shard_fn, mesh, halo=spatial_halo, scale=out_scale, input_scales=scales
             )
             logger.info(
                 "spatial-sharded whole-frame SR over %d devices (halo=%d LR rows)",

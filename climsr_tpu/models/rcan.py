@@ -29,13 +29,37 @@ from climsr_tpu.ops.pixel_shuffle import pixel_shuffle
 
 
 class CALayer(nn.Module):
+    """Squeeze-excite channel attention (global pool over H, W).
+
+    ``spatial_axis``: when the surrounding forward is H-sharded over a mesh
+    axis (parallel/halo.py ``spatial_sharded_model_forward``), the global
+    average must span the WHOLE frame, not the local shard — otherwise every
+    shard gates its channels on different statistics (measured 3e-2 max
+    output deviation at the europe geometry). With the axis set, the pool is
+    a halo-masked local sum + ``lax.psum`` over ICI: each original row is
+    counted exactly once (every shard's local view is
+    [halo | own rows | halo], so zeroing ``spatial_halo`` rows at both ends
+    is shard-index-independent), making the attention exact up to reduction
+    order. Params are unchanged — the same checkpoint serves both modes.
+    """
+
     channel: int
     reduction: int = 16
     dtype: Optional[Dtype] = None
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = global_avg_pool(x)
+        if self.spatial_axis is None:
+            y = global_avg_pool(x)
+        else:
+            h = x.shape[1]
+            row_w = jnp.zeros((h,), x.dtype)
+            row_w = row_w.at[self.spatial_halo : h - self.spatial_halo].set(1.0)
+            s = jnp.sum(x * row_w[None, :, None, None], axis=(1, 2), keepdims=True)
+            c = jnp.sum(row_w) * x.shape[2]
+            y = jax.lax.psum(s, self.spatial_axis) / jax.lax.psum(c, self.spatial_axis)
         y = nn.relu(TorchConv(self.channel // self.reduction, kernel_size=1, padding=0, dtype=self.dtype, name="du1")(y))
         y = nn.sigmoid(TorchConv(self.channel, kernel_size=1, padding=0, dtype=self.dtype, name="du2")(y))
         return x * y
@@ -46,13 +70,18 @@ class RCAB(nn.Module):
     kernel_size: int = 3
     reduction: int = 16
     dtype: Optional[Dtype] = None
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         conv = partial(TorchConv, kernel_size=self.kernel_size, dtype=self.dtype)
         res = nn.relu(conv(self.n_feat, name="conv1")(x))
         res = conv(self.n_feat, name="conv2")(res)
-        res = CALayer(self.n_feat, self.reduction, self.dtype, name="ca")(res)
+        res = CALayer(
+            self.n_feat, self.reduction, self.dtype,
+            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo, name="ca",
+        )(res)
         return res + x
 
 
@@ -62,12 +91,18 @@ class ResidualGroup(nn.Module):
     reduction: int = 16
     n_resblocks: int = 20
     dtype: Optional[Dtype] = None
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         res = x
         for i in range(self.n_resblocks):
-            res = RCAB(self.n_feat, self.kernel_size, self.reduction, self.dtype, name=f"rcab_{i}")(res)
+            res = RCAB(
+                self.n_feat, self.kernel_size, self.reduction, self.dtype,
+                spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+                name=f"rcab_{i}",
+            )(res)
         res = TorchConv(self.n_feat, kernel_size=self.kernel_size, dtype=self.dtype, name="conv_tail")(res)
         return res + x
 
@@ -104,6 +139,11 @@ class RCAN(nn.Module):
     out_channels: int = 1
     remat: bool = False
     dtype: Optional[Dtype] = None
+    # set by spatial_sharded_model_forward (model.clone) when the forward is
+    # H-sharded: channel-attention pooling then spans the whole frame via
+    # psum instead of the local shard (see CALayer docstring)
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, elev: jax.Array, mask: jax.Array) -> jax.Array:
@@ -115,7 +155,9 @@ class RCAN(nn.Module):
         res = x
         for i in range(self.n_resgroups):
             res = group_cls(
-                self.n_feats, kernel_size, self.reduction, self.n_resblocks, self.dtype, name=f"group_{i}"
+                self.n_feats, kernel_size, self.reduction, self.n_resblocks, self.dtype,
+                spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+                name=f"group_{i}",
             )(res)
         res = TorchConv(self.n_feats, kernel_size=kernel_size, dtype=self.dtype, name="body_tail")(res)
         res = res + x

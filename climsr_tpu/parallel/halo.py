@@ -199,6 +199,14 @@ def spatial_sharded_model_forward(
     in_scales = (1, scale, scale) if fusion else (1,)
     pspec = P(batch_axis, axis, None, None)
 
+    # Models with GLOBAL pooling (RCAN's channel attention) would silently
+    # pool their local shard instead of the frame — measured 3e-2 max output
+    # deviation (docs/operations.md "Spatial-shard accuracy"). Such modules
+    # expose `spatial_axis`/`spatial_halo` attrs; cloning them in makes the
+    # pool a halo-masked psum over the mesh axis — exact, same params.
+    if hasattr(model, "spatial_axis"):
+        model = model.clone(spatial_axis=axis, spatial_halo=halo)
+
     def fwd(params, lr, elevation=None, mask=None):
         h = lr.shape[1]
         pad = (-h) % n

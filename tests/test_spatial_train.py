@@ -259,6 +259,83 @@ def test_spatial_deep_trunk_error_split(mesh, rng):
     )
 
 
+def test_spatial_rcan_exact_channel_attention(mesh, rng):
+    """RCAN's channel attention global-average-pools each feature map; naive
+    H-sharding pools the LOCAL shard instead (measured 3e-2 max deviation at
+    the europe geometry, docs/operations.md). spatial_sharded_model_forward
+    clones in spatial_axis/spatial_halo so the pool becomes a halo-masked
+    psum over the mesh axis.
+
+    (a) Unit: the psum pool inside shard_map equals the unsharded global
+        mean EXACTLY on row-skewed data where local means differ wildly, and
+        a local-pool control differs by orders of magnitude — direct
+        falsifiability, immune to gate saturation.
+    (b) Integration: the cloned full-model sharded forward matches the
+        unsharded model in the interior (halo >= conv RF) and its gradients
+        flow (psum transposes on the backward path).
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from climsr_tpu.models import create_generator
+    from climsr_tpu.models.rcan import CALayer
+    from climsr_tpu.parallel.halo import _halo_pad_reflect
+
+    # ---- (a) pooling unit test -------------------------------------------
+    halo = 4
+    x = rng.normal(size=(2, 64, 16, 8)).astype(np.float32)
+    x[:, :32] += 3.0  # strong row dependence: local means differ by ~1.5
+    x = jnp.asarray(x)
+    ca_plain = CALayer(channel=8, reduction=4)
+    variables = ca_plain.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(ca_plain.apply(variables, x))
+
+    def run_sharded(module):
+        def local(xl):
+            padded = _halo_pad_reflect(xl, halo, "spatial")
+            out = module.apply(variables, padded)
+            return out[:, halo : out.shape[1] - halo]
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=P(None, "spatial", None, None),
+            out_specs=P(None, "spatial", None, None),
+        )(x)
+
+    exact = np.asarray(run_sharded(CALayer(channel=8, reduction=4,
+                                           spatial_axis="spatial", spatial_halo=halo)))
+    np.testing.assert_allclose(exact, want, atol=1e-5, rtol=1e-5)
+
+    naive = np.asarray(run_sharded(ca_plain))  # local pooling, pre-fix behavior
+    assert np.abs(naive - want).max() > 100 * max(np.abs(exact - want).max(), 1e-7), (
+        "local-pool control matched the global mean; the exactness assert is vacuous"
+    )
+
+    # ---- (b) full-model integration --------------------------------------
+    model = create_generator(
+        "rcan", n_resgroups=2, n_resblocks=2, n_feats=8, reduction=4,
+        out_channels=1, dtype=jnp.float32,
+    )
+    h, scale, mhalo = 64, 4, 15  # trunk RF ~ 12 rows < halo
+    lr = jnp.asarray(rng.normal(size=(2, h, 32, 3)), jnp.float32)
+    elev = jnp.asarray(rng.normal(size=(2, h * scale, 128, 1)), jnp.float32)
+    mask = jnp.ones((2, h * scale, 128, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), lr, elev, mask)["params"]
+    want_m = np.asarray(model.apply({"params": params}, lr, elev, mask))
+
+    fwd = spatial_sharded_model_forward(model, "rcan", mesh, halo=mhalo, scale=scale, batch_axis="data")
+    got = np.asarray(fwd(params, lr, elev, mask))
+    k = 20 * scale  # frame-edge-affected rows (reflect-vs-zero boundary choice)
+    interior = np.abs(got - want_m)[:, k:-k]
+    assert interior.max() < 1e-4, f"sharded rcan interior mismatch: {interior.max():.2e}"
+
+    hr = jnp.asarray(rng.normal(size=(2, h * scale, 128, 1)), jnp.float32)
+    g = jax.grad(lambda p: jnp.mean(jnp.abs(fwd(p, lr, elev, mask) - hr)))(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.e2e
 def test_cli_spatial_fit_europe_extent(tmp_path):
     """The flagship use case end-to-end: europe-extent 452x452 frames (113-row
