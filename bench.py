@@ -272,7 +272,10 @@ if __name__ == "__main__":
     elif "--globe-only" in sys.argv:
         bench_whole_globe()
     else:
-        _run_guarded("--train-only", 900, "train-step")
+        # 1500s: the axon tunnel's remote-compile latency varies by 3-5x
+        # between runs; a 900s budget was observed to clip the train stage on
+        # a slow-tunnel window even with a warm compile cache
+        _run_guarded("--train-only", 1500, "train-step")
         _run_guarded("--globe-only", 1800, "whole-globe e2e")
         ok = _run_guarded("--inference-only", 2400, "inference")
         if not ok:
