@@ -146,7 +146,7 @@ def bench_whole_globe() -> None:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    rates = mod.run(months=28, json_line=True)
+    rates = mod.run(months=60, json_line=True)
     months_s = rates["months_per_s_steady"]
     print(
         json.dumps(

@@ -191,23 +191,23 @@ def inference_on_full_images(
         # time both grow with tiles-in-flight x tile pixels); capped at 64
         # tiles in flight — larger tiled jits measured >28 min remote compile
         chunk = min(64, max(1, (batch_size * 8 * 64 * 64) // (tile_size * tile_size)))
-        # Denormalize ON DEVICE (per-frame vmin/vmax ride as traced scalars)
-        # and ship only the LAND pixels: the e2e sweep is bound by the
+        # Ship only the LAND pixels: the e2e sweep is bound by the
         # device->host link (measured 17 MB/s over the tunnel; an 8.3 MB f16
         # globe frame = ~0.5 s/frame) and by single-core host time for the
-        # denorm + ocean-mask passes (~0.45 s/frame). The static land gather
-        # cuts readback 3.4x on real CRU-TS (land fraction ~29%) and the
-        # fused denorm leaves the writer thread with just scatter + write.
+        # full-frame denorm + ocean-mask passes (~0.45 s/frame). The static
+        # land gather cuts readback 3.4x on real CRU-TS (land fraction ~29%)
+        # and shrinks the writer's denorm pass proportionally. The f16
+        # readback stays in the NORMALIZED [-1,1] domain (the writer
+        # denormalizes the packed vector in f32): casting after a device-side
+        # denorm would quantize absolute physical units instead — ~0.125
+        # worst-case at Kelvin magnitudes vs ~5e-4-relative here.
         land_idx = np.flatnonzero(np.asarray(mask_np).ravel()).astype(np.int32)
         use_pack = land_idx.size < mask_np.size  # degenerate all-land masks: skip
-
-        def _post(out: jax.Array, args: jax.Array) -> jax.Array:
-            return _denormalize(scaler, out, args[0], args[1])
 
         tiler = TiledSR(
             gen_fn, scale=out_scale, tile_size=tile_size, overlap=tile_overlap,
             batch_size=chunk, output_dtype=jnp.float16,
-            post_fn=_post, pack_indices=land_idx if use_pack else None,
+            pack_indices=land_idx if use_pack else None,
         )
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
         return _pipelined_tiled_sweep(
@@ -234,13 +234,14 @@ def _pipelined_tiled_sweep(
 
     The main thread only *dispatches* each frame's tiled SR (async, device
     array returned immediately); a writer pool pulls the result to host
-    (blocking THAT thread on the device→host link, not the dispatch loop)
-    and writes the GeoTIFF. Denormalization runs on device (tiler post_fn,
-    per-frame vmin/vmax as traced scalars); with ``land_idx`` the readback is
-    the packed land-pixel vector and the writer scatters it into a NaN
-    canvas — both host passes the round-3 profile charged ~0.45 s/frame for
-    on a single core. ``max_in_flight`` bounds device-resident output
-    buffers (<=8 MB f16 per global frame).
+    (blocking THAT thread on the device→host link, not the dispatch loop),
+    denormalizes in f32 and writes the GeoTIFF. With ``land_idx`` the
+    readback is the packed land-pixel vector, so the denorm pass covers only
+    land pixels (~29% on real CRU-TS) and the scatter into a NaN canvas
+    replaces the full-frame ocean-mask pass — together the host work the
+    round-3 profile charged ~0.45 s/frame for on a single core.
+    ``max_in_flight`` bounds device-resident output buffers (<=8 MB f16 per
+    global frame).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -256,13 +257,19 @@ def _pipelined_tiled_sweep(
     mask_bool = np.asarray(mask_np, bool)
 
     def write_one(i, dev_out):
-        filename, _, _ = metas[i]
+        filename, vmin, vmax = metas[i]
+        # promote the f16 readback to f32 BEFORE denormalizing: the transport
+        # dtype quantizes the NORMALIZED [-1,1] values (~5e-4 relative);
+        # denormalizing first and casting after would quantize absolute
+        # physical units instead (ulp 0.25 at Kelvin magnitudes)
         if land_idx is not None:
             vals = np.asarray(dev_out).astype(np.float32)  # packed land pixels
+            vals = _denormalize(scaler, vals, vmin, vmax)
             arr = np.full((hr_h, hr_w), np.nan, np.float32)
             arr.ravel()[land_idx] = vals
         else:
             arr = np.asarray(dev_out)[:hr_h, :hr_w].astype(np.float32)
+            arr = _denormalize(scaler, arr, vmin, vmax)
             arr = np.where(mask_bool, arr, np.nan).astype(np.float32)
         out_path = os.path.join(out_dir, filename)
         write_geotiff(out_path, arr, profile)
@@ -272,8 +279,7 @@ def _pipelined_tiled_sweep(
     pending: "deque" = deque()
     with ThreadPoolExecutor(max_workers=2) as pool:
         for i in range(frames.shape[0]):
-            _, vmin, vmax = metas[i]
-            dev_out = tiler.device_call(frames[i], post_args=(vmin, vmax))
+            dev_out = tiler.device_call(frames[i])
             pending.append((i, pool.submit(write_one, i, dev_out)))
             if len(pending) >= max_in_flight:
                 j, fut = pending.popleft()

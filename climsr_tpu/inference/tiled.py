@@ -270,16 +270,29 @@ class TiledSR:
             *ex_dev,
         )
 
-    def __call__(self, frame: np.ndarray, extras: Optional[Tuple[np.ndarray, ...]] = None) -> np.ndarray:
+    def __call__(
+        self,
+        frame: np.ndarray,
+        extras: Optional[Tuple[np.ndarray, ...]] = None,
+        post_args: Tuple[float, ...] = (),
+    ) -> np.ndarray:
         """SR one (H, W, C) frame -> (H*scale, W*scale, 1) numpy array.
 
         ``extras``: optional HR-space conditioning rasters (elevation, mask) at
         (H*scale, W*scale, 1), passed to generator_fn as additional arguments.
         Frame-invariant extras should be uploaded once via :meth:`set_extras`;
-        passing them here transfers them again on every call.
+        passing them here transfers them again on every call. With
+        ``pack_indices`` set the output is a 1-D gathered vector, not a frame
+        — use :meth:`device_call` (the pipelined path) instead.
         """
+        if self._pack_idx is not None:
+            raise ValueError(
+                "TiledSR.__call__ returns a cropped (H*scale, W*scale, 1) frame, but "
+                "pack_indices makes device_call return a packed 1-D vector — call "
+                "device_call() and scatter the result yourself"
+            )
         orig_hw = frame.shape[:2]
-        out = self.device_call(frame, extras)
+        out = self.device_call(frame, extras, post_args=post_args)
         return np.asarray(out)[: orig_hw[0] * self.scale, : orig_hw[1] * self.scale, None]
 
 

@@ -40,7 +40,12 @@ class CALayer(nn.Module):
     counted exactly once (every shard's local view is
     [halo | own rows | halo], so zeroing ``spatial_halo`` rows at both ends
     is shard-index-independent), making the attention exact up to reduction
-    order. Params are unchanged — the same checkpoint serves both modes.
+    order. ``spatial_pad`` covers non-divisible frame heights: the forward
+    reflect-pads the frame bottom to a multiple of the axis size, and those
+    phantom rows sit at the end of the LAST shard's own region — they are
+    masked out conditionally on ``lax.axis_index`` so the pooled mean spans
+    exactly the original rows. Params are unchanged — the same checkpoint
+    serves both modes.
     """
 
     channel: int
@@ -48,6 +53,7 @@ class CALayer(nn.Module):
     dtype: Optional[Dtype] = None
     spatial_axis: Optional[str] = None
     spatial_halo: int = 0
+    spatial_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -55,8 +61,15 @@ class CALayer(nn.Module):
             y = global_avg_pool(x)
         else:
             h = x.shape[1]
-            row_w = jnp.zeros((h,), x.dtype)
-            row_w = row_w.at[self.spatial_halo : h - self.spatial_halo].set(1.0)
+            rows = jnp.arange(h)
+            row_w = ((rows >= self.spatial_halo) & (rows < h - self.spatial_halo)).astype(x.dtype)
+            if self.spatial_pad:
+                idx = jax.lax.axis_index(self.spatial_axis)
+                n_shards = jax.lax.psum(1, self.spatial_axis)
+                phantom = (rows >= h - self.spatial_halo - self.spatial_pad) & (
+                    rows < h - self.spatial_halo
+                )
+                row_w = jnp.where((idx == n_shards - 1) & phantom, 0.0, row_w)
             s = jnp.sum(x * row_w[None, :, None, None], axis=(1, 2), keepdims=True)
             c = jnp.sum(row_w) * x.shape[2]
             y = jax.lax.psum(s, self.spatial_axis) / jax.lax.psum(c, self.spatial_axis)
@@ -72,6 +85,7 @@ class RCAB(nn.Module):
     dtype: Optional[Dtype] = None
     spatial_axis: Optional[str] = None
     spatial_halo: int = 0
+    spatial_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -80,7 +94,8 @@ class RCAB(nn.Module):
         res = conv(self.n_feat, name="conv2")(res)
         res = CALayer(
             self.n_feat, self.reduction, self.dtype,
-            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo, name="ca",
+            spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+            spatial_pad=self.spatial_pad, name="ca",
         )(res)
         return res + x
 
@@ -93,6 +108,7 @@ class ResidualGroup(nn.Module):
     dtype: Optional[Dtype] = None
     spatial_axis: Optional[str] = None
     spatial_halo: int = 0
+    spatial_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -101,6 +117,7 @@ class ResidualGroup(nn.Module):
             res = RCAB(
                 self.n_feat, self.kernel_size, self.reduction, self.dtype,
                 spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+                spatial_pad=self.spatial_pad,
                 name=f"rcab_{i}",
             )(res)
         res = TorchConv(self.n_feat, kernel_size=self.kernel_size, dtype=self.dtype, name="conv_tail")(res)
@@ -141,9 +158,11 @@ class RCAN(nn.Module):
     dtype: Optional[Dtype] = None
     # set by spatial_sharded_model_forward (model.clone) when the forward is
     # H-sharded: channel-attention pooling then spans the whole frame via
-    # psum instead of the local shard (see CALayer docstring)
+    # psum instead of the local shard (see CALayer docstring); spatial_pad
+    # excludes the bottom reflect-pad rows of non-divisible frame heights
     spatial_axis: Optional[str] = None
     spatial_halo: int = 0
+    spatial_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, elev: jax.Array, mask: jax.Array) -> jax.Array:
@@ -157,6 +176,7 @@ class RCAN(nn.Module):
             res = group_cls(
                 self.n_feats, kernel_size, self.reduction, self.n_resblocks, self.dtype,
                 spatial_axis=self.spatial_axis, spatial_halo=self.spatial_halo,
+                spatial_pad=self.spatial_pad,
                 name=f"group_{i}",
             )(res)
         res = TorchConv(self.n_feats, kernel_size=kernel_size, dtype=self.dtype, name="body_tail")(res)

@@ -200,12 +200,12 @@ def spatial_sharded_model_forward(
     pspec = P(batch_axis, axis, None, None)
 
     # Models with GLOBAL pooling (RCAN's channel attention) would silently
-    # pool their local shard instead of the frame — measured 3e-2 max output
-    # deviation (docs/operations.md "Spatial-shard accuracy"). Such modules
-    # expose `spatial_axis`/`spatial_halo` attrs; cloning them in makes the
-    # pool a halo-masked psum over the mesh axis — exact, same params.
-    if hasattr(model, "spatial_axis"):
-        model = model.clone(spatial_axis=axis, spatial_halo=halo)
+    # pool their local shard instead of the frame. Such modules expose
+    # `spatial_axis`/`spatial_halo`/`spatial_pad` attrs; cloning them in
+    # makes the pool a halo-masked psum over the mesh axis — exact, same
+    # params. The clone happens inside fwd(), where the non-divisible-height
+    # reflect padding is known, so the phantom bottom rows are masked too.
+    supports_global_pool = hasattr(model, "spatial_axis")
 
     def fwd(params, lr, elevation=None, mask=None):
         h = lr.shape[1]
@@ -221,10 +221,15 @@ def spatial_sharded_model_forward(
             f"{lr.shape[1] // n} <= halo={halo}; lower spatial_halo or the axis size"
         )
         inputs = (lr, elevation, mask) if fusion else (lr,)
+        mdl = (
+            model.clone(spatial_axis=axis, spatial_halo=halo, spatial_pad=pad)
+            if supports_global_pool
+            else model
+        )
 
         def local(p, *xs):
             padded = [_halo_pad_reflect(x, halo * s, axis) for x, s in zip(xs, in_scales)]
-            out = model.apply({"params": p}, *padded)
+            out = mdl.apply({"params": p}, *padded)
             return out[:, halo * out_scale : out.shape[1] - halo * out_scale]
 
         param_specs = jax.tree_util.tree_map(lambda _: P(), params)

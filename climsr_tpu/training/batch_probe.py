@@ -69,17 +69,27 @@ def _plan_bytes(compiled) -> Optional[int]:
     return total if found else None
 
 
-def fits(step_fn: Callable, state, batch_template: Dict, bs: int, headroom: float) -> Optional[Tuple[bool, int]]:
+def fits(
+    step_fn: Callable, state, batch_template: Dict, bs: int, headroom: float, shards: int = 1
+) -> Optional[Tuple[bool, int]]:
     """AOT-compile ``step_fn(state, batch)`` at batch size ``bs``.
+
+    ``shards``: the data-parallel factor. The trainer shards every batch over
+    the mesh's data axis, so the per-device footprint of a GLOBAL batch ``bs``
+    is that of a single-device run at ``ceil(bs / shards)`` (activations
+    scale with the local slice; params/optimizer state are replicated) —
+    probing the global size against one device's limit would over-report by
+    ~shards x and shrink batches that actually fit.
 
     Returns (fits, plan_bytes), or None when the backend can't report memory.
     """
     limit = _device_bytes_limit()
     if limit is None:
         return None
+    local_bs = -(-bs // max(1, shards))  # ceil
     sds = jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
     batch = {
-        k: jax.ShapeDtypeStruct((bs,) + tuple(v.shape[1:]), v.dtype)
+        k: jax.ShapeDtypeStruct((local_bs,) + tuple(v.shape[1:]), v.dtype)
         for k, v in batch_template.items()
     }
     try:
@@ -103,16 +113,18 @@ def probe_max_batch_size(
     mode: str = "power",
     headroom: float = 0.9,
     max_trials: int = MAX_TRIALS,
+    shards: int = 1,
     _fits: Optional[Callable] = None,
 ) -> int:
-    """Largest batch size whose compiled memory plan fits the device.
+    """Largest GLOBAL batch size whose per-device memory plan fits the device.
 
     ``batch_template``: one real (or ShapeDtypeStruct) batch — only shapes
-    beyond the leading batch dim and dtypes are read. ``_fits`` overrides the
-    probe predicate (tests). Returns ``start`` unchanged when the backend
-    reports no memory stats.
+    beyond the leading batch dim and dtypes are read. ``shards`` is the
+    data-parallel factor (see :func:`fits`). ``_fits`` overrides the probe
+    predicate (tests). Returns ``start`` unchanged when the backend reports
+    no memory stats.
     """
-    check = _fits or (lambda bs: fits(step_fn, state, batch_template, bs, headroom))
+    check = _fits or (lambda bs: fits(step_fn, state, batch_template, bs, headroom, shards))
     first = check(start)
     if first is None:
         logger.warning(

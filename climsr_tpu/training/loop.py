@@ -557,6 +557,9 @@ class Trainer:
         new_bs = probe_max_batch_size(
             step, state, template, start=cfg.batch_size,
             mode="power" if mode is True else str(mode),
+            # global batches are sharded over the data axis: probe the
+            # per-device slice, not the global batch, against one chip's HBM
+            shards=int(self.mesh.shape.get("data", 1)) * jax.process_count(),
         )
         if new_bs != cfg.batch_size:
             logger.info("auto_scale_batch_size: %d -> %d", cfg.batch_size, new_bs)

@@ -357,6 +357,10 @@ def test_tiled_sr_device_denorm_and_land_pack(rng):
     with pytest.raises(ValueError, match="pack_indices"):
         packed.device_call(rng.normal(size=(16, 16, 1)).astype(np.float32))
 
+    # __call__ promises a cropped frame, which pack mode cannot deliver
+    with pytest.raises(ValueError, match="device_call"):
+        packed(frame)
+
 
 def test_tiled_sr_undersized_frame_with_extras(rng):
     """A frame smaller than the tile gets reflect-pre-padded host-side; the HR

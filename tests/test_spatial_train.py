@@ -313,6 +313,18 @@ def test_spatial_rcan_exact_channel_attention(mesh, rng):
         "local-pool control matched the global mean; the exactness assert is vacuous"
     )
 
+    # non-divisible frame heights: spatial_sharded_model_forward reflect-pads
+    # the frame bottom, and those phantom rows land in the LAST shard's own
+    # region — spatial_pad must mask them so the pool spans exactly the
+    # original rows (here: x's last 3 rows are phantoms; the reference mean
+    # is over the true 61)
+    pad = 3
+    want_pad = np.asarray(ca_plain.apply(variables, x[:, : 64 - pad]))
+    exact_pad = np.asarray(run_sharded(CALayer(
+        channel=8, reduction=4, spatial_axis="spatial", spatial_halo=halo, spatial_pad=pad,
+    )))
+    np.testing.assert_allclose(exact_pad[:, : 64 - pad], want_pad, atol=1e-5, rtol=1e-5)
+
     # ---- (b) full-model integration --------------------------------------
     model = create_generator(
         "rcan", n_resgroups=2, n_resblocks=2, n_feats=8, reduction=4,
