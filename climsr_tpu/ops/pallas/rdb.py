@@ -298,6 +298,21 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
 # MXU pass model (nf=64, gc=16, per L lanes): dX = 5 (conv5) + 4*2 (growth)
 # = 13 passes, dW the same ⇒ backward = 26 vs forward 13 — the canonical
 # conv fwd:bwd = 1:2 ratio, with no recompute.
+#
+# Known future lever (unexploited): the per-call weight packings
+# (_tap_rows / jnp.stack over the four growth convs, plus the transposed
+# variants in the backward) are rebuilt from the live params on EVERY train
+# step — a round-4 xplane profile of the flagship step shows ~68 tiny
+# `slice` dispatches/step (~146 us mean, ~10% of the 98 ms step) matching
+# the 33 RDBs x (4 taps + biases). They cannot constant-fold because the
+# weights are traced, and each RDB packs independently so XLA cannot batch
+# them. A fix would pack all 33 RDBs' weights in ONE stacked op chain
+# (needs the trunk to collect weights before the block loop) or keep a
+# custom_vjp-wrapped packed layout in the train state. Microbenching the
+# delta on the tunnel-attached chip was inconclusive (the transport's
+# optimistic async makes block_until_ready timings unreliable; see
+# bench.py's data-dependent-chain methodology) — measure with the chained
+# method before attempting.
 # ---------------------------------------------------------------------------
 
 
