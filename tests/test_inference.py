@@ -460,6 +460,58 @@ def test_spatial_shard_inference_matches_single_device(cruts_fixture):
     )
 
 
+def test_spatial_shard_inference_rcan_psum_attention(cruts_fixture):
+    """inference.spatial_shard=true with RCAN: run.py must clone the model
+    with spatial_axis/spatial_halo so the channel attention pools globally
+    via psum (models/rcan.py CALayer) instead of each shard's local window.
+    Pins the wiring end-to-end through inference_on_full_images — a missing
+    clone would silently change every written GeoTIFF. Tolerances are loose
+    (3-row shards << receptive field, so seams are approximate); the sharded
+    sweep must complete, preserve the ocean mask, and track the
+    single-device output."""
+    import jax
+
+    from climsr_tpu.inference.datasets import CRUTSInferenceDataset
+    from climsr_tpu.inference.run import inference_on_full_images
+    from climsr_tpu.models import create_generator
+
+    ds = CRUTSInferenceDataset(
+        ds_path=str(cruts_fixture["nc"]),
+        elevation_file=str(cruts_fixture["elev"]),
+        land_mask_file=str(cruts_fixture["mask"]),
+        generator_type="rcan",
+        scaling_factor=4,
+    )
+    model = create_generator(
+        "rcan", n_resgroups=1, n_resblocks=1, n_feats=8, reduction=4,
+        out_channels=1, dtype=jnp.float32,
+    )
+    item = ds[0]
+    in_ch = item[consts.batch_items.lr].shape[-1]
+    hr = cruts_fixture["hw"][0] * 4, cruts_fixture["hw"][1] * 4
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + item[consts.batch_items.lr].shape),
+        jnp.zeros((1, hr[0], hr[1], 1)),
+        jnp.ones((1, hr[0], hr[1], 1)),
+    )["params"]
+
+    out_single = cruts_fixture["tmp_path"] / "sr_rcan_single"
+    out_shard = cruts_fixture["tmp_path"] / "sr_rcan_shard"
+    w_single = inference_on_full_images(model, params, ds, str(out_single), "rcan", batch_size=2)
+    w_shard = inference_on_full_images(
+        model, params, ds, str(out_shard), "rcan", batch_size=2, spatial_shard=True
+    )
+    assert len(w_single) == len(w_shard) == cruts_fixture["months"]
+    a, _ = read_geotiff(w_single[0])
+    b, _ = read_geotiff(w_shard[0])
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))  # ocean mask preserved
+    a0, b0 = np.nan_to_num(a), np.nan_to_num(b)
+    rms = np.sqrt(np.mean((a0 - b0) ** 2)) / max(np.sqrt(np.mean(a0**2)), 1e-6)
+    assert rms < 0.15, f"sharded rcan diverged from single-device: rms ratio {rms:.3f}"
+
+
 def test_inspect_results_cli(cruts_fixture, tmp_path):
     """Result-inspection CLI end to end: three comparison sets, plots + CSVs.
 
