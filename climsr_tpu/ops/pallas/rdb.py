@@ -299,20 +299,16 @@ def _rdb_t_pallas_raw(xt, h, w, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, batch_ti
 # = 13 passes, dW the same ⇒ backward = 26 vs forward 13 — the canonical
 # conv fwd:bwd = 1:2 ratio, with no recompute.
 #
-# Known future lever (unexploited): the per-call weight packings
-# (_tap_rows / jnp.stack over the four growth convs, plus the transposed
-# variants in the backward) are rebuilt from the live params on EVERY train
-# step — a round-4 xplane profile of the flagship step shows ~68 tiny
-# `slice` dispatches/step (~146 us mean, ~10% of the 98 ms step) matching
-# the 33 RDBs x (4 taps + biases). They cannot constant-fold because the
-# weights are traced, and each RDB packs independently so XLA cannot batch
-# them. A fix would pack all 33 RDBs' weights in ONE stacked op chain
-# (needs the trunk to collect weights before the block loop) or keep a
-# custom_vjp-wrapped packed layout in the train state. Microbenching the
-# delta on the tunnel-attached chip was inconclusive (the transport's
-# optimistic async makes block_until_ready timings unreliable; see
-# bench.py's data-dependent-chain methodology) — measure with the chained
-# method before attempting.
+# Weight-packing cost: MEASURED DEAD END (round 4). The per-call packings
+# (_tap_rows / jnp.stack, rebuilt from live params every step) show up in
+# xplane profiles as ~68 `slice` events/step (~10% of profiled compute
+# time), which suggests an optimization. It is not one: timing the chained
+# flagship forward (bench.py methodology, loop-carried dependency) with the
+# weights as closure CONSTANTS — where XLA constant-folds every packing op —
+# gives 15.76 ms/iter vs 15.68 ms traced, i.e. zero wall-clock difference.
+# The packing dispatches overlap kernel compute entirely; the profiler's
+# per-op table double-counts them against the async spans. Do not spend
+# time batching the packings across RDBs.
 # ---------------------------------------------------------------------------
 
 
