@@ -275,6 +275,7 @@ def test_device_store_indexed_step(mesh, rng):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_spatial_sharded_multi_esrgan_interior_exact(mesh, rng):
     """Whole-generator spatial sharding of the real fusion forward: with a
     halo covering the receptive field, every row at least RF away from the

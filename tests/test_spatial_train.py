@@ -69,6 +69,7 @@ def test_spatial_gradient_interior_exact(mesh, rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_spatial_fusion_nondivisible_height(mesh, rng):
     """ESRGAN fusion path on a 113-row-like frame: H=30 pads to 32 over 4
     shards, output crops back to 120 HR rows."""
@@ -259,6 +260,7 @@ def test_spatial_deep_trunk_error_split(mesh, rng):
     )
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_spatial_rcan_exact_channel_attention(mesh, rng):
     """RCAN's channel attention global-average-pools each feature map; naive
     H-sharding pools the LOCAL shard instead (measured 3e-2 max deviation at

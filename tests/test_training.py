@@ -137,6 +137,7 @@ def test_gan_step_updates_both_and_tracks_bn(rng):
     assert not np.allclose(old_bn, jax.tree_util.tree_leaves(state.d_batch_stats)[0])
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_gan_val_losses_use_mask_zeroed_hr(rng):
     """Reference quirk (pl_gan.py:115-119 + task.py:287-289): validation's
     loss_g sees the mask-ZEROED hr (in-place mutation aliasing batch[hr]) but
@@ -175,6 +176,7 @@ def test_gan_val_losses_use_mask_zeroed_hr(rng):
     assert abs(want_pixel - float(np.mean(np.abs(sr - np.asarray(batch["hr"]))))) > 1e-6
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_gan_perceptual_interval_dynamics_and_logging(rng):
     """task.perceptual_interval>1 must not change training dynamics under the
     default no-grad perceptual quirk — only the logged value (0.0 on skipped

@@ -158,6 +158,7 @@ def test_esrgan_pretrain_step_gradient_golden(rng):
         _tree_allclose(jax.device_get(new_state.params), jax.device_get(want), atol=1e-9)
 
 
+@pytest.mark.e2e  # compile-heavy on the CPU mesh; full tier only
 def test_gan_step_gradient_golden(rng):
     """One fused GAN step vs a per-phase torch oracle implementing
     pl_gan.py:28-97 verbatim: relativistic G loss (with the reference's
