@@ -113,6 +113,33 @@ def test_pretrain_step_reduces_loss(rng):
     assert int(state.step) == 15
 
 
+def test_gan_step_smoke_quick_tier(rng):
+    """Quick-tier fused-GAN step canary (advisor round 4): the cheapest model
+    pair that still compiles the full fused G+D relativistic step, so a
+    make_gan_step regression surfaces in the ~10-min tier instead of only at
+    the ~30-min e2e gate."""
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.tasks.gan import make_gan_step
+
+    g = create_generator("esrgan", nf=4, nb=1, gc=2, out_channels=1)
+    d = create_discriminator("rfb_esrgan", in_channels=1)
+    batch = _tiny_batch(rng, n=2, hr_size=32, lr_size=8)
+    g_var = g.init(jax.random.PRNGKey(0), batch["lr"], batch["elevation"], batch["mask"])
+    d_var = d.init(jax.random.PRNGKey(1), batch["hr"], train=False)
+    cfg = OptimizerConfig(name="adam", lr=1e-4, weight_decay=0.0)
+    g_tx = build_optimizer(cfg, lambda s: 1e-4)
+    d_tx = build_optimizer(cfg, lambda s: 1e-4)
+    state = GANTrainState.create(g_var["params"], g_tx, d_var["params"], d_tx, d_var.get("batch_stats"))
+    step = make_gan_step(g, d, "esrgan", g_tx, d_tx, compute_dtype=jnp.float32, donate=False)
+    old_g = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    old_d = jax.tree_util.tree_leaves(state.d_params)[0].copy()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train/loss_G"]))
+    assert np.isfinite(float(metrics["train/loss_D"]))
+    assert not np.allclose(old_g, jax.tree_util.tree_leaves(state.g_params)[0])
+    assert not np.allclose(old_d, jax.tree_util.tree_leaves(state.d_params)[0])
+
+
 @pytest.mark.e2e
 def test_gan_step_updates_both_and_tracks_bn(rng):
     from climsr_tpu.models import create_discriminator, create_generator

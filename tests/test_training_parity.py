@@ -48,7 +48,7 @@ if REFERENCE_ROOT not in sys.path:
     sys.path.insert(0, REFERENCE_ROOT)
 
 ref_models = pytest.importorskip("climsr.models", reason="reference repo not mounted")
-for _sub in ("srcnn", "esrgan", "discriminator"):
+for _sub in ("srcnn", "esrgan", "rcan", "discriminator"):
     __import__(f"climsr.models.{_sub}")
 
 B_lr, B_hr, B_elev, B_mask = "lr", "hr", "elevation", "mask"
@@ -464,6 +464,105 @@ def test_twin_training_convergence_esrgan(rng):
     tx = build_optimizer(OptimizerConfig(name="adam", lr=lr, weight_decay=0.0), schedule=lambda s: lr)
     state = TrainState.create(params, tx)
     step = make_pretrain_step(model, "esrgan", tx, compute_dtype=jnp.float32, donate=False)
+
+    @jax.jit
+    def val_rmse(p):
+        sr = model.apply({"params": p}, jnp.asarray(lr_va), jnp.asarray(elev_va), jnp.asarray(mask_va))
+        return jnp.sqrt(jnp.mean(jnp.square(sr - jnp.asarray(hr_va))))
+
+    rmse_j = []
+    for s in range(steps):
+        i = order[s]
+        batch = {
+            B_lr: jnp.asarray(lr_tr[i]), B_hr: jnp.asarray(hr_tr[i]),
+            B_elev: jnp.asarray(elev_tr[i]), B_mask: jnp.asarray(mask_tr[i]),
+        }
+        state, _ = step(state, batch)
+        if (s + 1) % ckpt_every == 0:
+            rmse_j.append(float(val_rmse(state.params)))
+
+    rmse_t, rmse_j = np.asarray(rmse_t), np.asarray(rmse_j)
+    assert rmse_t[-1] < rmse_t[0]
+    assert rmse_j[-1] < rmse_j[0]
+    np.testing.assert_allclose(rmse_j, rmse_t, rtol=0.03, atol=2e-3)
+
+
+@pytest.mark.e2e
+def test_twin_training_convergence_rcan_fine_tune(rng):
+    """100 identical steps of a tiny RCAN under the reference's FLAGSHIP
+    fine-tune recipe (conf/experiment/rcan_fine_tuning.yaml): AdamW
+    (decoupled wd=1e-4, conf/optimizers/adamw.yaml) + OneCycleLR stepped per
+    batch (pct_start=0.05, div=2, final_div=100 — incl. torch's
+    cycle_momentum=True default cycling Adam beta1 0.95->0.85->0.95), L1
+    pixel loss, fusion head (elevation+mask conditioning). Pins the
+    optimizer-coupled trajectory for the model the reference actually ships
+    for inference (conf/inference/inference_rcan.yaml)."""
+    torch.manual_seed(17)
+    ref = ref_models.rcan.RCAN(
+        n_resgroups=2, n_resblocks=2, n_feats=8, reduction=4,
+        scaling_factor=4, in_channels=3, out_channels=1,
+    ).train()  # f32
+    sd0 = _sd_numpy(ref)
+
+    hr_size, bs, steps, ckpt_every = 32, 4, 100, 25
+    _, hr_tr = _synthetic_sr_data(rng, 64, hr_size)
+    _, hr_va = _synthetic_sr_data(rng, 16, hr_size)
+
+    def assemble(hr):
+        n = hr.shape[0]
+        lr0 = hr[:, ::4, ::4, 0]
+        lr = np.stack([lr0, np.zeros_like(lr0), np.ones_like(lr0)], axis=-1)
+        elev = np.zeros((n, hr_size, hr_size, 1), np.float32)
+        mask = np.ones((n, hr_size, hr_size, 1), np.float32)
+        return lr.astype(np.float32), elev, mask
+
+    lr_tr, elev_tr, mask_tr = assemble(hr_tr)
+    lr_va, elev_va, mask_va = assemble(hr_va)
+    order = np.stack([rng.permutation(64)[:bs] for _ in range(steps)])
+    max_lr, wd = 1e-3, 1e-4
+
+    # --- torch twin: AdamW + OneCycleLR (cycle_momentum default ON) ---
+    opt = torch.optim.AdamW(ref.parameters(), lr=max_lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=steps, pct_start=0.05,
+        div_factor=2.0, final_div_factor=100.0,
+    )
+    rmse_t = []
+    for s in range(steps):
+        i = order[s]
+        sr = ref(_nchw(lr_tr[i]), _nchw(elev_tr[i]), _nchw(mask_tr[i]))
+        loss = torch.nn.functional.l1_loss(sr, _nchw(hr_tr[i]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        if (s + 1) % ckpt_every == 0:
+            with torch.no_grad():
+                out = ref(_nchw(lr_va), _nchw(elev_va), _nchw(mask_va))
+                rmse_t.append(float(torch.sqrt(torch.mean((out - _nchw(hr_va)) ** 2))))
+
+    # --- climsr_tpu twin: adamw + one_cycle lr AND beta1 schedules ---
+    from climsr_tpu.training.schedules import one_cycle_momentum_schedule, one_cycle_schedule
+
+    schedule = one_cycle_schedule(
+        max_lr=max_lr, num_training_steps=steps, pct_start=0.05,
+        div_factor=2.0, final_div_factor=100.0,
+    )
+    b1_schedule = one_cycle_momentum_schedule(num_training_steps=steps, pct_start=0.05)
+    model = create_generator(
+        "rcan", n_resgroups=2, n_resblocks=2, n_feats=8, reduction=4,
+        in_channels=3, out_channels=1, dtype=jnp.float32,
+    )
+    params = import_generator_params(
+        "rcan", sd0, model=model,
+        example_inputs=(jnp.asarray(lr_va[:1]), jnp.asarray(elev_va[:1]), jnp.asarray(mask_va[:1])),
+    )
+    tx = build_optimizer(
+        OptimizerConfig(name="adamw", lr=max_lr, weight_decay=wd, betas=(0.9, 0.999), eps=1e-8),
+        schedule=schedule, b1_schedule=b1_schedule,
+    )
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, "rcan", tx, compute_dtype=jnp.float32, donate=False)
 
     @jax.jit
     def val_rmse(p):
