@@ -29,11 +29,13 @@ stack incl. HR-scale head + fusion SRCNN); RTX 3090 fp32 ~35.6 TFLOP/s peak at
 a generous 35% conv utilization + batch-1 dispatch overhead gives
 ~15 Mpix-HR/s. vs_baseline is measured throughput over that estimate; the
 BASELINE.json north star (>=5x) corresponds to vs_baseline >= 5.
-Besides the headline inference JSON line (stdout), two more JSON lines go to
-stderr so the driver-captured tail records them each round: the flagship
+Besides the headline inference JSON line (stdout), three more JSON lines go
+to stderr so the driver-captured tail records them each round: the flagship
 *training-step* throughput (fused forward+backward+adam, bs=192, the
-reference's pre-training batch) and the *whole-globe e2e* months/s (full
-pipeline incl. NetCDF read, tiled SR, GeoTIFF writes — the production sweep).
+reference's pre-training batch), the *GAN fine-tune step* throughput (fused
+G+D + conv5_4 VGG graph, the reference's second training stage), and the
+*whole-globe e2e* months/s (full pipeline incl. NetCDF read, tiled SR,
+GeoTIFF writes — the production sweep).
 
 Tile-geometry note: this benchmark runs 32x32-LR tiles — the training-tile
 geometry, where the Pallas trunk is eligible and engaged. The shipped tiled
@@ -54,6 +56,14 @@ FLOPS_PER_LR_PIXEL = 11.55e6  # ESRGAN nb=11 gc=16 analytic conv FLOPs
 # on the RTX-3090 fp16 training path at the same generous 35%-of-peak conv
 # utilization used for the inference anchor -> ~700 samples/s (BASELINE.md)
 BASELINE_TRAIN_SAMPLES_S = 700.0
+# GAN fine-tune step anchor (task/pl_gan.py:63-97): per sample the reference
+# runs G fwd+bwd (3x11.83 GF at 32->128), D fwd on (sr,hr) for the
+# relativistic G loss incl. bwd-through-D-to-sr (~4x3.65 GF), the D update on
+# real+fake (~6x3.65 GF), and the no-grad conv5_4 VGG19 forward on sr AND hr
+# (2x12.8 GF at 128px) -> ~97.6 GF/sample = 18.7 TFLOP at bs=192. At the same
+# 35%-of-peak RTX-3090 fp16 utilization as the train anchor (~24.8 TF/s
+# effective) that is ~250 samples/s.
+BASELINE_GAN_SAMPLES_S = 250.0
 # whole-globe anchor: the reference inference loop (inference.py:48-70) runs
 # whole 360x720 LR frames, batch=1, fp32 on the RTX-3090 — 360*720*11.55 MFLOP
 # = 3.0 TFLOP/month at the same 35%-of-peak utilization (12.5 TF/s) is 0.24 s
@@ -124,6 +134,87 @@ def bench_train_step() -> None:
                 "value": round(sps, 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / BASELINE_TRAIN_SAMPLES_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def bench_gan_step() -> None:
+    """Flagship GAN fine-tune step: fused G+D + conv5_4 VGG graph, bs=192.
+
+    The reference's second training stage (task/pl_gan.py): relativistic
+    RaGAN with pixel/perceptual/adversarial weights 0.01/1.0/0.005. Same
+    chained-jit + host-scalar-barrier methodology as the pretrain stage.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.gan import make_gan_step
+    from climsr_tpu.training.train_state import GANTrainState
+
+    bs, lr_hw = 192, 32
+    # use_pallas=False: embedding the 33 custom-vjp trunk kernels inside the
+    # G+D+VGG gradient graph was observed to push the remote XLA compile past
+    # 45 min (vs ~3 min for the XLA trunk) — a driver bench stage must stay
+    # inside its time budget, and the XLA-trunk number is the one measured
+    # in README ("GAN fine-tune step")
+    g_model = create_generator(
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
+    )
+    d_model = create_discriminator("esrgan", in_channels=1, dtype=jnp.bfloat16)
+    r = jax.random.PRNGKey(0)
+    batch = {
+        "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),
+        "hr": jax.random.normal(r, (bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+        "elevation": jax.random.normal(r, (bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+        "mask": jnp.ones((bs, lr_hw * 4, lr_hw * 4, 1), jnp.bfloat16),
+    }
+    g_params = g_model.init(r, batch["lr"][:1], batch["elevation"][:1], batch["mask"][:1])["params"]
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 1), jnp.bfloat16), train=False)
+    g_tx = build_optimizer(OptimizerConfig(name="adam", lr=1e-4, weight_decay=1e-4), lambda s: 1e-4)
+    d_tx = build_optimizer(OptimizerConfig(name="adam", lr=1e-4, weight_decay=1e-4), lambda s: 1e-4)
+    perceptual = build_perceptual_loss(compute_dtype=jnp.bfloat16, cutoff="conv5_4")
+    step = make_gan_step(
+        g_model, d_model, "esrgan", g_tx, d_tx,
+        pixel_weight=0.01, perceptual_weight=1.0, adversarial_weight=0.005,
+        perceptual_fn=perceptual, compute_dtype=jnp.bfloat16, donate=True,
+    )
+    state = GANTrainState.create(g_params, g_tx, d_vars["params"], d_tx, d_vars.get("batch_stats"))
+
+    def run(state, n):
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(n):
+            state, metrics = step(state, batch)
+        float(metrics["train/loss_G"])  # host scalar pull = real completion barrier
+        return state, time.perf_counter() - t0
+
+    iters = 5
+    state, _ = run(state, 1)  # compile
+    samples = []
+    for _ in range(3):
+        state, t1 = run(state, 1)
+        state, tn = run(state, iters + 1)
+        samples.append((tn - t1) / iters)
+    dt = sorted(samples)[1]
+    sps = bs / dt
+    print(
+        f"# GAN bs={bs} dt={dt * 1e3:.1f} ms/step = {sps:.0f} samples/s/chip "
+        f"(fused G+D + conv5_4 VGG)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "gan_train_step_throughput",
+                "value": round(sps, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(sps / BASELINE_GAN_SAMPLES_S, 2),
             }
         ),
         file=sys.stderr,
@@ -267,16 +358,21 @@ if __name__ == "__main__":
     enable_persistent_compilation_cache()
     if "--train-only" in sys.argv:
         bench_train_step()
+    elif "--gan-only" in sys.argv:
+        bench_gan_step()
     elif "--inference-only" in sys.argv:
         main()
     elif "--globe-only" in sys.argv:
         bench_whole_globe()
     else:
-        # 1500s: the axon tunnel's remote-compile latency varies by 3-5x
-        # between runs; a 900s budget was observed to clip the train stage on
-        # a slow-tunnel window even with a warm compile cache
-        _run_guarded("--train-only", 1500, "train-step")
-        _run_guarded("--globe-only", 1800, "whole-globe e2e")
+        # Budgets: the axon tunnel's remote-compile latency varies by 3-5x
+        # between runs (a 900s budget was observed to clip the train stage on
+        # a slow-tunnel window even with a warm compile cache), and each
+        # subprocess stage additionally pays a first device->host fetch
+        # handshake measured at ~3 min on a bad-weather window (round 5).
+        _run_guarded("--train-only", 1800, "train-step")
+        _run_guarded("--gan-only", 2400, "GAN-step")
+        _run_guarded("--globe-only", 2100, "whole-globe e2e")
         ok = _run_guarded("--inference-only", 2400, "inference")
         if not ok:
             sys.exit(1)  # no headline JSON was printed — fail loudly, never hang

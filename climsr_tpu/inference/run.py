@@ -210,6 +210,17 @@ def inference_on_full_images(
             pack_indices=land_idx if use_pack else None,
         )
         tiler.set_extras(extras)  # elevation/mask are frame-invariant: upload once
+        # The assembled LR frames carry [climate, elevation_lr, mask_lr]
+        # channels (inference/datasets.py) — only channel 0 varies by month.
+        # Verified invariant across the series, the trailing channels upload
+        # ONCE and per-frame host->device traffic drops to the 1-channel
+        # climate frame (3x fewer uplink bytes on the tunnel-bound sweep).
+        if frames.shape[-1] > 1 and all(
+            np.array_equal(frames[0, ..., 1:], frames[i, ..., 1:])
+            for i in (frames.shape[0] // 2, frames.shape[0] - 1)
+        ):
+            tiler.set_static_lr_channels(frames[0, ..., 1:])
+            frames = frames[..., :1]
         return _pipelined_tiled_sweep(
             tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,
             out_scale, land_idx=land_idx if use_pack else None,
@@ -227,21 +238,25 @@ def _denormalize(scaler, arr: np.ndarray, vmin: float, vmax: float) -> np.ndarra
 
 def _pipelined_tiled_sweep(
     tiler, frames, metas, scaler, mask_np, mask_profile, out_dir, written,
-    scaling_factor: int, max_in_flight: int = 4, land_idx: Optional[np.ndarray] = None,
+    scaling_factor: int, max_in_flight: int = 3, land_idx: Optional[np.ndarray] = None,
+    group_size: int = 8,
 ) -> List[str]:
     """Overlap the device sweep with host IO (round-2 finding: serial host
     writes left the chip idle at 0.20 months/s).
 
-    The main thread only *dispatches* each frame's tiled SR (async, device
-    array returned immediately); a writer pool pulls the result to host
-    (blocking THAT thread on the device→host link, not the dispatch loop),
-    denormalizes in f32 and writes the GeoTIFF. With ``land_idx`` the
-    readback is the packed land-pixel vector, so the denorm pass covers only
-    land pixels (~29% on real CRU-TS) and the scatter into a NaN canvas
-    replaces the full-frame ocean-mask pass — together the host work the
-    round-3 profile charged ~0.45 s/frame for on a single core.
-    ``max_in_flight`` bounds device-resident output buffers (<=8 MB f16 per
-    global frame).
+    Frames go to the device in GROUPS of ``group_size`` (one jit dispatch and
+    one device->host readback per group — the per-call round-trip measured
+    ~25 ms over the tunnel, as long as one frame's whole transport, so
+    grouping amortizes it ~8x). The main thread only *dispatches* (async,
+    device array returned immediately); a writer pool pulls each group to
+    host (blocking THAT thread on the device->host link, not the dispatch
+    loop), denormalizes in f32 and writes the GeoTIFFs. With ``land_idx``
+    the readback is the packed land-pixel matrix, so the denorm pass covers
+    only land pixels (~29% on real CRU-TS) and the scatter into a NaN canvas
+    replaces the full-frame ocean-mask pass. ``max_in_flight`` bounds
+    device-resident output groups (~19 MB f16 per packed global group).
+    The final short group is padded by repeating the last frame (keeps the
+    single compiled shape); its padded outputs are dropped host-side.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -255,39 +270,50 @@ def _pipelined_tiled_sweep(
         nodata=np.nan,
     )
     mask_bool = np.asarray(mask_np, bool)
+    n = frames.shape[0]
+    k = min(group_size, n)
 
-    def write_one(i, dev_out):
-        filename, vmin, vmax = metas[i]
-        # promote the f16 readback to f32 BEFORE denormalizing: the transport
-        # dtype quantizes the NORMALIZED [-1,1] values (~5e-4 relative);
-        # denormalizing first and casting after would quantize absolute
-        # physical units instead (ulp 0.25 at Kelvin magnitudes)
-        if land_idx is not None:
-            vals = np.asarray(dev_out).astype(np.float32)  # packed land pixels
-            vals = _denormalize(scaler, vals, vmin, vmax)
-            arr = np.full((hr_h, hr_w), np.nan, np.float32)
-            arr.ravel()[land_idx] = vals
-        else:
-            arr = np.asarray(dev_out)[:hr_h, :hr_w].astype(np.float32)
-            arr = _denormalize(scaler, arr, vmin, vmax)
-            arr = np.where(mask_bool, arr, np.nan).astype(np.float32)
-        out_path = os.path.join(out_dir, filename)
-        write_geotiff(out_path, arr, profile)
-        return out_path
+    def write_group(i0, count, dev_out):
+        host = np.asarray(dev_out)  # ONE readback per group on this thread
+        paths = []
+        for j in range(count):
+            filename, vmin, vmax = metas[i0 + j]
+            # promote the f16 readback to f32 BEFORE denormalizing: the
+            # transport dtype quantizes the NORMALIZED [-1,1] values (~5e-4
+            # relative); denormalizing first and casting after would quantize
+            # absolute physical units instead (ulp 0.25 at Kelvin magnitudes)
+            if land_idx is not None:
+                vals = host[j].astype(np.float32)  # packed land pixels
+                vals = _denormalize(scaler, vals, vmin, vmax)
+                arr = np.full((hr_h, hr_w), np.nan, np.float32)
+                arr.ravel()[land_idx] = vals
+            else:
+                arr = host[j][:hr_h, :hr_w].astype(np.float32)
+                arr = _denormalize(scaler, arr, vmin, vmax)
+                arr = np.where(mask_bool, arr, np.nan).astype(np.float32)
+            out_path = os.path.join(out_dir, filename)
+            write_geotiff(out_path, arr, profile)
+            paths.append(out_path)
+        return paths
 
-    paths: List[Optional[str]] = [None] * len(metas)
+    group_paths: List[Optional[List[str]]] = [None] * (-(-n // k))
     pending: "deque" = deque()
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for i in range(frames.shape[0]):
-            dev_out = tiler.device_call(frames[i])
-            pending.append((i, pool.submit(write_one, i, dev_out)))
+        for gi, i0 in enumerate(range(0, n, k)):
+            chunk = frames[i0 : i0 + k]
+            count = chunk.shape[0]
+            if count < k:  # pad the tail group to the compiled shape
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], k - count, axis=0)])
+            dev_out = tiler.device_call_many(chunk)
+            pending.append((gi, pool.submit(write_group, i0, count, dev_out)))
             if len(pending) >= max_in_flight:
                 j, fut = pending.popleft()
-                paths[j] = fut.result()
+                group_paths[j] = fut.result()
         while pending:
             j, fut = pending.popleft()
-            paths[j] = fut.result()
-    written.extend(paths)
+            group_paths[j] = fut.result()
+    for paths in group_paths:
+        written.extend(paths)
     return written
 
 

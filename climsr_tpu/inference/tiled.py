@@ -105,6 +105,7 @@ class TiledSR:
         hr_tile = tile_size * scale
         self._weights = _feather_window(hr_tile, overlap * scale)
         self._extras_dev: Optional[Tuple[jax.Array, ...]] = None
+        self._static_lr_dev: Optional[jax.Array] = None
         self._compiled = {}
 
     def _regular_grid(self, size: int):
@@ -129,8 +130,26 @@ class TiledSR:
             None if extras is None else tuple(jnp.asarray(e, self.compute_dtype) for e in extras)
         )
 
-    def _build(self, h: int, w: int):
-        """One jit per frame shape: slice tiles -> generator -> feather-blend."""
+    def set_static_lr_channels(self, chans: Optional[np.ndarray]) -> None:
+        """Upload frame-invariant trailing LR input channels ONCE per series.
+
+        The CRU-TS inference frames are assembled as [climate, elevation_lr,
+        mask_lr] (inference/datasets.py) — only channel 0 varies per month.
+        With ``chans`` set to the (H, W, C-1) invariant tail,
+        :meth:`device_call` accepts the 1-channel varying frame and the jit
+        concatenates the channels on device: per-frame host->device bytes
+        drop 3x (0.5 MB vs 1.5 MB bf16 for the 360x720 globe) on the thin
+        tunnel the e2e sweep is bound by."""
+        self._static_lr_dev = None if chans is None else jnp.asarray(chans, self.compute_dtype)
+
+    def _build(self, h: int, w: int, k: int = 1, has_static: bool = False):
+        """One jit per (frame shape, frame-batch k): tiles -> generator -> blend.
+
+        ``k`` frames are processed per dispatch (``device_call_many``): the
+        tile batch is k-fold larger (better MXU occupancy at small grids) and
+        the per-call host round-trip — measured ~25 ms on the tunnel-attached
+        chip, comparable to one frame's whole transport — is amortized k-fold.
+        """
         hp, ys = self._regular_grid(h)
         wp, xs = self._regular_grid(w)
         origins = [(y, x) for y in ys for x in xs]
@@ -179,42 +198,59 @@ class TiledSR:
         pack_idx = None if self._pack_idx is None else jnp.asarray(self._pack_idx)
         post_fn = self._post_fn
 
-        def run(frame: jax.Array, post_args: jax.Array, *extras: jax.Array) -> jax.Array:
+        def run(frames: jax.Array, post_args: jax.Array, *rest: jax.Array) -> jax.Array:
+            # frames: (k, h, w, Cvar); rest = (static_lr?,) + hr_extras
+            if has_static:
+                static, extras = rest[0], rest[1:]
+                frames = jnp.concatenate(
+                    [frames, jnp.broadcast_to(static[None], (k,) + static.shape)], axis=-1
+                )
+            else:
+                extras = rest
             if (hp, wp) != (h, w):  # uniform-grid reflect padding, on device
-                frame = jnp.pad(frame, ((0, hp - h), (0, wp - w)) + ((0, 0),) * (frame.ndim - 2),
-                                mode="reflect")
+                frames = jnp.pad(
+                    frames, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="reflect"
+                )
                 extras = tuple(
                     jnp.pad(ex, ((0, (hp - h) * s), (0, (wp - w) * s)) + ((0, 0),) * (ex.ndim - 2),
                             mode="reflect")
                     for ex in extras
                 )
-            tiles = jnp.stack([frame[y : y + t, x : x + t] for y, x in origins])
+            # origin-major tile order: (n, k, t, t, C) -> (n*k, ...), so the
+            # per-origin HR extras repeat k-fold in matching order
+            tiles = jnp.stack([frames[:, y : y + t, x : x + t] for y, x in origins])
+            tiles = tiles.reshape((n * k,) + tiles.shape[2:])
             ex_tiles = [
-                jnp.stack([ex[y * s : (y + t) * s, x * s : (x + t) * s] for y, x in origins])
+                jnp.repeat(
+                    jnp.stack([ex[y * s : (y + t) * s, x * s : (x + t) * s] for y, x in origins]),
+                    k, axis=0,
+                )
                 for ex in extras
             ]
-            if n <= bs:
+            nk = n * k
+            if nk <= bs:
                 sr = self._gen(tiles, *ex_tiles)
             else:
-                # balanced chunks: k = ceil(n/bs) map steps of ceil(n/k) tiles
-                # — same in-flight cap, minimal padding (a naive n->bs split
-                # padded a 24-tile globe grid to 2x16, +33% dead MXU time)
-                k = -(-n // bs)
-                cs = -(-n // k)
-                pad = k * cs - n
+                # balanced chunks: m = ceil(nk/bs) map steps of ceil(nk/m)
+                # tiles — same in-flight cap, minimal padding (a naive nk->bs
+                # split padded a 24-tile globe grid to 2x16, +33% dead MXU)
+                m = -(-nk // bs)
+                cs = -(-nk // m)
+                pad = m * cs - nk
                 padded = [jnp.concatenate([a, a[: 1].repeat(pad, 0)]) if pad else a for a in (tiles, *ex_tiles)]
-                chunked = [a.reshape((k, cs) + a.shape[1:]) for a in padded]
+                chunked = [a.reshape((m, cs) + a.shape[1:]) for a in padded]
                 sr = jax.lax.map(lambda args: self._gen(*args), tuple(chunked))
-                sr = sr.reshape((-1,) + sr.shape[2:])[:n]
-            sr = sr[..., 0].astype(jnp.float32) * w_const  # (n, ht, ht)
-            out = blend(sr)
+                sr = sr.reshape((-1,) + sr.shape[2:])[:nk]
+            sr = sr[..., 0].astype(jnp.float32).reshape(n, k, ht, ht)
+            sr = sr.transpose(1, 0, 2, 3) * w_const  # (k, n, ht, ht)
+            out = jax.vmap(blend)(sr)  # (k, hp*s, wp*s)
             norm = blend(jnp.broadcast_to(w_const, (n, ht, ht)))  # constant-folded by XLA
-            out = out / jnp.maximum(norm, 1e-8)
-            out = out[: h * s, : w * s]
+            out = out / jnp.maximum(norm, 1e-8)[None]
+            out = out[:, : h * s, : w * s]
             if post_fn is not None:
-                out = post_fn(out, post_args)
+                out = jax.vmap(post_fn)(out, post_args)
             if pack_idx is not None:
-                out = out.ravel()[pack_idx]
+                out = out.reshape(k, -1)[:, pack_idx]
             return out.astype(self.output_dtype)
 
         return jax.jit(run)
@@ -233,17 +269,43 @@ class TiledSR:
         ``post_args``: per-frame scalars for the construction-time ``post_fn``
         (e.g. this month's vmin/vmax) — traced jit inputs, so varying them
         never recompiles. With ``pack_indices`` set the return is the 1-D
-        gathered vector instead of the frame."""
-        pre_padded = frame.shape[0] < self.tile or frame.shape[1] < self.tile
+        gathered vector instead of the frame. With static LR channels set
+        (:meth:`set_static_lr_channels`) pass only the VARYING channels."""
+        out = self.device_call_many(
+            frame[None], extras=extras, post_args=np.asarray(post_args, np.float32)[None]
+        )
+        return out[0]
+
+    def device_call_many(
+        self,
+        frames: np.ndarray,
+        extras: Optional[Tuple[np.ndarray, ...]] = None,
+        post_args: Optional[np.ndarray] = None,
+    ) -> jax.Array:
+        """Dispatch SR of a (k, H, W[, C]) frame GROUP in one jit call.
+
+        Returns (k, H*scale, W*scale) — or (k, n_pack) with ``pack_indices``.
+        One compile per (frame shape, k): callers should use a fixed group
+        size and pad the final group (repeat the last frame, drop the
+        outputs). Grouping amortizes the per-dispatch host round-trip
+        (~25 ms measured over the device tunnel — as long as one frame's
+        whole transport) and widens the generator batch at small tile grids.
+        """
+        if frames.ndim == 3:
+            frames = frames[..., None]
+        k = frames.shape[0]
+        pre_padded = frames.shape[1] < self.tile or frames.shape[2] < self.tile
         if pre_padded:
             if self._pack_idx is not None:
                 raise ValueError(
                     "pack_indices address the unpadded (H*scale, W*scale) frame; "
-                    f"frame {frame.shape[:2]} smaller than tile {self.tile} would be "
+                    f"frame {frames.shape[1:3]} smaller than tile {self.tile} would be "
                     "pre-padded and misalign the gather"
                 )
-            frame, _ = pad_to_multiple(frame, self.tile)
-        h, w = frame.shape[:2]
+            ph, pw = (-frames.shape[1]) % self.tile, (-frames.shape[2]) % self.tile
+            if ph or pw:
+                frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        h, w = frames.shape[1:3]
         if extras is not None:
             ex_dev = tuple(jnp.asarray(e, self.compute_dtype) for e in extras)
         else:
@@ -261,12 +323,21 @@ class TiledSR:
                 return e
 
             ex_dev = tuple(_pad_hr(e) for e in ex_dev)
-        key = (h, w, frame.shape[-1] if frame.ndim == 3 else 1, len(ex_dev))
+        static = self._static_lr_dev
+        if static is not None and static.shape[:2] != (h, w):
+            raise ValueError(
+                f"static LR channels {static.shape[:2]} do not match the frame {(h, w)}"
+            )
+        key = (h, w, frames.shape[-1], len(ex_dev), k, static is not None)
         if key not in self._compiled:
-            self._compiled[key] = self._build(h, w)
+            self._compiled[key] = self._build(h, w, k=k, has_static=static is not None)
+        if post_args is None:
+            post_args = np.zeros((k, 0), np.float32)
+        static_args = (static,) if static is not None else ()
         return self._compiled[key](
-            jnp.asarray(frame, self.compute_dtype),
+            jnp.asarray(frames, self.compute_dtype),
             jnp.asarray(post_args, jnp.float32),
+            *static_args,
             *ex_dev,
         )
 

@@ -338,13 +338,15 @@ class Trainer:
         self.state = self._place_state(state)
 
         # ---- compiled steps ------------------------------------------------
-        if self.is_gan and self.spatial_size > 1:
-            raise ValueError(
-                "spatial_shard_size applies to pixel-loss (pre-training/fine-tune) "
-                "tasks only: the GAN discriminator and VGG perceptual graph consume "
-                "whole frames. Use task=generator_pre_training with spatial sharding, "
-                "or DP for GAN fine-tuning."
-            )
+        spatial_cfg = None
+        if self.spatial_size > 1:
+            spatial_cfg = {
+                "mesh": self.mesh,
+                "axis": "spatial",
+                "halo": int(getattr(trainer_cfg, "spatial_shard_halo", 8)),
+                "scale": cfg.scale_factor,
+                "batch_axis": "data" if self.mesh.shape["data"] > 1 else None,
+            }
         if self.is_gan:
             # perceptual_loss_factor == 0 skips building the VGG19 graph entirely
             # (16 convs at HR size — pure overhead when its weight is zero).
@@ -369,6 +371,7 @@ class Trainer:
                 augment_seed=training_cfg.seed,
                 store=self.train_store,
                 zero=self._zero_cfg or None,
+                spatial=spatial_cfg,
             )
             self.gan_val_losses = make_gan_val_losses(
                 self.g_model, self.d_model, self.generator_type,
@@ -379,15 +382,6 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
             )
         else:
-            spatial_cfg = None
-            if self.spatial_size > 1:
-                spatial_cfg = {
-                    "mesh": self.mesh,
-                    "axis": "spatial",
-                    "halo": int(getattr(trainer_cfg, "spatial_shard_halo", 8)),
-                    "scale": cfg.scale_factor,
-                    "batch_axis": "data" if self.mesh.shape["data"] > 1 else None,
-                }
             self.train_step = make_pretrain_step(
                 self.g_model, self.generator_type, self.g_tx, compute_dtype=self.compute_dtype,
                 augment=self._augment_kwargs, augment_seed=training_cfg.seed,

@@ -51,10 +51,28 @@ def make_gan_step(
     augment_seed: int = 0,
     store: Optional[Dict] = None,
     zero: Optional[Dict] = None,
+    spatial: Optional[Dict] = None,
 ):
+    """``spatial``: spatial-shard GAN fine-tuning (same kwargs as
+    make_pretrain_step's ``spatial``). The europe-extent GAN fine-tunes train
+    on WHOLE 452x452 frames (reference climate_dataset.py:53 ``hr_size = 452
+    if europe_extent``) with the size-agnostic RFB discriminator
+    (rfb_esrgan.py:54 AdaptiveAvgPool2d), so frames too large per chip need
+    the H-sharded generator forward here too. The generator runs through the
+    differentiable halo exchange (parallel/halo.py); its H-sharded ``sr``
+    output then flows into the D and VGG graphs as a GSPMD global array —
+    XLA spatially partitions their convs (inserting its own exact halo
+    exchanges) and lowers the adaptive-pool/FC reductions to ICI collectives.
+    Only the generator needs the explicit halo machinery because only it is
+    applied *locally* inside a shard_map."""
     # accumulation dtype: f32 for bf16/f32 compute, f64 under x64 (exact
     # f64 gradient-golden parity tests)
     acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
+    spatial_fwd = None
+    if spatial is not None:
+        from climsr_tpu.parallel.halo import spatial_sharded_model_forward
+
+        spatial_fwd = spatial_sharded_model_forward(g_model, generator_type, **spatial)
     # DeepSpeed-ZeRO-style partitioning, see make_pretrain_step docstring:
     # {"stage": 2|3, "g_shardings": ..., "d_shardings": ...}
     zero_stage = (zero or {}).get("stage", 0)
@@ -80,6 +98,13 @@ def make_gan_step(
         return params
 
     def forward_g(g_params, batch):
+        if spatial_fwd is not None:
+            return spatial_fwd(
+                g_params,
+                batch[B.lr].astype(compute_dtype),
+                batch[B.elevation].astype(compute_dtype) if B.elevation in batch else None,
+                batch[B.mask].astype(compute_dtype) if B.mask in batch else None,
+            ).astype(acc_dtype)
         from climsr_tpu.models import apply_generator_batch
 
         return apply_generator_batch(generator_type, g_model, g_params, batch, compute_dtype).astype(acc_dtype)

@@ -36,24 +36,29 @@ from climsr_tpu.io.netcdf import ClimateSeries, write_climate_series
 from climsr_tpu.models import create_generator
 
 
-def run(months: int = 60, json_line: bool = False, warmup_months: int = 4) -> dict:
+def run(
+    months: int = 60, json_line: bool = False, warmup_months: int = 4, repeats: int = 3
+) -> dict:
     """Build the synthetic globe and measure the STEADY-STATE e2e rate.
 
-    Three sweeps through ``inference_on_full_images`` (full pipeline: NetCDF
+    Sweeps through ``inference_on_full_images`` (full pipeline: NetCDF
     read -> normalization -> overlap-tiled SR on device -> land-packed f16
     readback -> host denorm of the packed vector -> GeoTIFF writes):
 
       1. cold, ``warmup_months`` (includes the one-time tiled-jit compile),
       2. warm, ``warmup_months``    — carries the per-sweep fixed overhead
          (re-trace of the tiled jit, compile-cache load, extras upload),
-      3. warm, ``months``.
+      3. warm, ``months`` — repeated ``repeats`` times.
 
-    Steady months/s = (months - warmup_months) / (t3 - t2): the differencing
-    removes the per-sweep setup that a real 1440-month production run
-    amortizes to nothing but that dominates any single short sweep (measured
-    ~18 s setup vs 0.35 s/month marginal on the tunnel-attached v5e). The
-    land mask is thresholded to the real CRU-TS land fraction (~29% of the
-    0.5-degree globe) — the packed readback and write sizes match production.
+    Steady months/s per repeat = (months - warmup_months) / (t_full - setup)
+    with setup = the sweep-2 time: the differencing removes the per-sweep
+    setup that a real 1440-month production run amortizes to nothing but
+    that dominates any single short sweep. The REPORTED rate is the MEDIAN
+    over the repeats, with the min-max spread in the dict/log — a single
+    captured sweep was observed to wander 2x with device-tunnel weather
+    (round-4 verdict), so one sample is not a number. The land mask is
+    thresholded to the real CRU-TS land fraction (~29% of the 0.5-degree
+    globe) — the packed readback and write sizes match production.
     """
     h, w, scale = 360, 720, 4
     hr_h, hr_w = h * scale, w * scale
@@ -120,6 +125,7 @@ def run(months: int = 60, json_line: bool = False, warmup_months: int = 4) -> di
         jnp.ones((1, 128, 128, 1), jnp.bfloat16),
     )["params"]
 
+    out = sys.stderr if json_line else sys.stdout
     # sweep 1 (cold, warmup months): one-time tiled-jit compile
     t0 = time.perf_counter()
     inference_on_full_images(model, params, ds_warm, str(root / "sr1" / "tmp"), "esrgan", batch_size=8)
@@ -127,47 +133,59 @@ def run(months: int = 60, json_line: bool = False, warmup_months: int = 4) -> di
     # sweep 2 (warm, warmup months): carries only the per-sweep fixed setup
     inference_on_full_images(model, params, ds_warm, str(root / "sr2" / "tmp"), "esrgan", batch_size=8)
     t2 = time.perf_counter()
-    # sweep 3 (warm, all months): same fixed setup + (months - warmup) more
-    out_dir3 = root / "sr3" / "tmp"
-    inference_on_full_images(model, params, ds, str(out_dir3), "esrgan", batch_size=8)
-    t3 = time.perf_counter()
-    n_out = len(list(out_dir3.glob("*.tif")))
-    assert n_out == months, (n_out, months)
+    setup = t2 - t1
     cold = warmup_months / (t1 - t0)
-    warm_short = warmup_months / (t2 - t1)
-    marginal = t3 - t2 - (t2 - t1)
-    # differencing sanity floor: the subtraction assumes the per-sweep setup
-    # reproduces between sweeps 2 and 3. If the residual is under 15% of the
-    # big sweep, something perturbed one of them (host contention) and the
-    # differenced rate would over-report — fall back to the conservative
-    # undifferenced rate for the marginal months instead. (At the default 60
-    # months the healthy operating point is ~40-60% — a fast tunnel day
-    # cannot trip the floor and silently flip the driver metric to the ~3x
-    # lower setup-inclusive rate, which a 28-month run at a 25% floor could.)
-    if marginal < 0.15 * (t3 - t2):
-        marginal = t3 - t2
-        print("# differencing unstable (setup did not reproduce); reporting the "
-              "setup-inclusive rate", file=sys.stderr if json_line else sys.stdout)
-    steady = (months - warmup_months) / marginal
-    eff_mpix_s = steady * hr_h * hr_w / 1e6
-    out = sys.stderr if json_line else sys.stdout
+    warm_short = warmup_months / setup
     print(
         f"# e2e cold (incl compile): {warmup_months} months in {t1 - t0:.1f}s = {cold:.3f} months/s",
         file=out,
     )
     print(
-        f"# e2e warm short sweep: {warmup_months} months in {t2 - t1:.1f}s = {warm_short:.3f} months/s "
+        f"# e2e warm short sweep: {warmup_months} months in {setup:.1f}s = {warm_short:.3f} months/s "
         f"(per-sweep setup dominated)",
         file=out,
     )
+    # sweeps 3..: (warm, all months) x repeats: same fixed setup + marginal months
+    rates = []
+    for r in range(max(1, repeats)):
+        out_dir3 = root / f"sr3_{r}" / "tmp"
+        tr0 = time.perf_counter()
+        inference_on_full_images(model, params, ds, str(out_dir3), "esrgan", batch_size=8)
+        tr1 = time.perf_counter()
+        n_out = len(list(out_dir3.glob("*.tif")))
+        assert n_out == months, (n_out, months)
+        marginal = tr1 - tr0 - setup
+        # differencing sanity floor: the subtraction assumes the per-sweep
+        # setup reproduces. If the residual is under 15% of the full sweep,
+        # something perturbed one of them (host contention) and the
+        # differenced rate would over-report — fall back to the conservative
+        # undifferenced rate for this repeat instead. (At the default 60
+        # months the healthy operating point is ~40-60% — a fast tunnel day
+        # cannot trip the floor and silently flip the driver metric to the
+        # ~3x lower setup-inclusive rate, which a 28-month run could.)
+        if marginal < 0.15 * (tr1 - tr0):
+            marginal = tr1 - tr0
+            print("# differencing unstable (setup did not reproduce); using the "
+                  "setup-inclusive rate for this repeat", file=out)
+        rate = (months - warmup_months) / marginal
+        rates.append(rate)
+        print(
+            f"# e2e repeat {r + 1}/{repeats}: {months - warmup_months} marginal months in "
+            f"{marginal:.1f}s = {rate:.3f} months/s",
+            file=out,
+        )
+    rates_sorted = sorted(rates)
+    steady = rates_sorted[len(rates_sorted) // 2]
+    eff_mpix_s = steady * hr_h * hr_w / 1e6
     print(
-        f"# e2e steady state: {months - warmup_months} marginal months in "
-        f"{marginal:.1f}s = {steady:.3f} months/s = {eff_mpix_s:.1f} Mpix-HR/s "
-        f"({n_out} GeoTIFFs) under {root}",
+        f"# e2e steady state: median {steady:.3f} months/s over {len(rates)} repeats "
+        f"(spread {rates_sorted[0]:.3f}-{rates_sorted[-1]:.3f}) = {eff_mpix_s:.1f} Mpix-HR/s "
+        f"under {root}",
         file=out,
     )
     return {
         "months_per_s_steady": steady,
+        "months_per_s_spread": (rates_sorted[0], rates_sorted[-1]),
         "months_per_s_cold": cold,
         "months_per_s_warm_short": warm_short,
         "eff_mpix_hr_s": eff_mpix_s,

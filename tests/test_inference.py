@@ -362,6 +362,67 @@ def test_tiled_sr_device_denorm_and_land_pack(rng):
         packed(frame)
 
 
+def test_tiled_sr_grouped_dispatch_matches_per_frame(rng):
+    """device_call_many on a frame group == per-frame device_call, incl. the
+    packed-readback + device-denorm path (the grouped transport fast path the
+    e2e sweep uses to amortize the per-dispatch round-trip)."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.data.normalization import MinMaxScaler
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr):
+        return nearest_upsample(lr[..., :1], 4) * 0.5
+
+    scaler = MinMaxScaler(feature_range=(-1.0, 1.0))
+    frames = rng.uniform(-1, 1, size=(5, 64, 96, 1)).astype(np.float32)
+    mask = rng.uniform(size=(256, 384)) > 0.7
+    land_idx = np.flatnonzero(mask.ravel()).astype(np.int32)
+
+    def post(out, args):
+        return scaler.denormalize(out, args[0], args[1])
+
+    packed = TiledSR(
+        fn, scale=4, tile_size=32, overlap=8, batch_size=4,
+        compute_dtype=jnp.float32, post_fn=post, pack_indices=land_idx,
+    )
+    post_args = np.array([[-5.0 + i, 40.0 - i] for i in range(5)], np.float32)
+    group = np.asarray(packed.device_call_many(frames, post_args=post_args))
+    assert group.shape == (5, land_idx.size)
+    for i in range(5):
+        single = np.asarray(packed.device_call(frames[i], post_args=tuple(post_args[i])))
+        np.testing.assert_allclose(group[i], single, atol=1e-5)
+
+
+def test_tiled_sr_static_lr_channels(rng):
+    """set_static_lr_channels: a 1-channel varying frame + device-resident
+    invariant channels == shipping the full multi-channel frame."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr):
+        # consumes all 3 channels so a channel-order bug cannot hide
+        return nearest_upsample(lr[..., :1] + 0.25 * lr[..., 1:2] - 0.125 * lr[..., 2:3], 4)
+
+    frames = rng.normal(size=(3, 64, 96, 3)).astype(np.float32)
+    static = rng.normal(size=(64, 96, 2)).astype(np.float32)
+    frames[..., 1:] = static  # invariant trailing channels
+
+    full = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    want = np.asarray(full.device_call_many(frames))
+
+    slim = TiledSR(fn, scale=4, tile_size=32, overlap=8, batch_size=4, compute_dtype=jnp.float32)
+    slim.set_static_lr_channels(static)
+    got = np.asarray(slim.device_call_many(frames[..., :1]))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    with pytest.raises(ValueError, match="static LR channels"):
+        slim.device_call_many(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+
+
 def test_tiled_sr_undersized_frame_with_extras(rng):
     """A frame smaller than the tile gets reflect-pre-padded host-side; the HR
     extras must be padded consistently or the in-jit tile slicing mismatches."""

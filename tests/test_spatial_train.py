@@ -383,27 +383,115 @@ def test_cli_spatial_fit_europe_extent(tmp_path):
     assert "train/loss" in rows and "val/rmse" in rows
 
 
-def test_trainer_rejects_gan_spatial(tmp_path):
-    """GAN + spatial sharding must be rejected at Trainer construction
-    (loop.py guard): the discriminator and VGG graph consume whole frames, so
-    an H-sharded fused G+D step would silently train on partial frames."""
+def test_spatial_gan_step(mesh, rng):
+    """Spatial-shard x GAN (round-4 verdict item 7): the europe-extent GAN
+    fine-tunes train on WHOLE 452x452 frames (reference climate_dataset.py:53)
+    with the size-agnostic RFB discriminator (rfb_esrgan.py:54
+    AdaptiveAvgPool2d) — a real too-large-per-chip workload. The generator
+    runs through the differentiable halo exchange; its H-sharded sr flows
+    into the D and VGG graphs under GSPMD. Asserts the fused spatial G+D step
+    tracks the unsharded step's losses and keeps training."""
+    from climsr_tpu.config.schemas import OptimizerConfig
+    from climsr_tpu.losses.perceptual import build_perceptual_loss
+    from climsr_tpu.models import create_discriminator, create_generator
+    from climsr_tpu.training.optimizers import build_optimizer
+    from climsr_tpu.training.tasks.gan import make_gan_step
+    from climsr_tpu.training.train_state import GANTrainState
+
+    g_model = create_generator("esrgan", nf=8, nb=1, gc=4, out_channels=1, use_pallas=False, dtype=jnp.float32)
+    # out_channels=8: the width-reduced ESRGAN D keeps the CPU-mesh compile
+    # inside the e2e budget (the production RFB D's 512ch x 14x14 FC alone
+    # pushed this test to ~11 min); GSPMD's sharded-sr handling is identical
+    d_model = create_discriminator("esrgan", in_channels=1, out_channels=8, dtype=jnp.float32)
+    batch_np = {
+        "lr": rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+        "hr": rng.normal(size=(4, 128, 128, 1)).astype(np.float32),
+        "elevation": rng.normal(size=(4, 128, 128, 1)).astype(np.float32),
+        "mask": np.ones((4, 128, 128, 1), np.float32),
+    }
+    g_vars = g_model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch_np["lr"][:1]),
+        jnp.asarray(batch_np["elevation"][:1]),
+        jnp.asarray(batch_np["mask"][:1]),
+    )
+    d_vars = d_model.init(jax.random.PRNGKey(1), jnp.asarray(batch_np["hr"][:1]), train=False)
+    g_tx = build_optimizer(OptimizerConfig(name="adamw", lr=1e-4), lambda s: 1e-4)
+    d_tx = build_optimizer(OptimizerConfig(name="adamw", lr=1e-4), lambda s: 1e-4)
+
+    def fresh_state():
+        s = GANTrainState.create(
+            g_vars["params"], g_tx, d_vars["params"], d_tx, d_vars.get("batch_stats")
+        )
+        return jax.device_put(s, replicated(mesh))
+
+    bsharding = batch_sharding(mesh)
+    batch = {k: jax.device_put(jnp.asarray(v), bsharding) for k, v in batch_np.items()}
+    # conv1_2: the shallowest VGG cutoff that still runs perceptual features
+    # through the GSPMD-sharded sr — conv2_2+ blows the CPU-mesh compile past
+    # the e2e budget (the real-depth graph runs on the TPU GAN bench)
+    perceptual_fn = build_perceptual_loss(compute_dtype=jnp.float32, cutoff="conv1_2")
+
+    spatial = {"mesh": mesh, "axis": "spatial", "halo": 6, "scale": 4, "batch_axis": "data"}
+    step_sp = make_gan_step(
+        g_model, d_model, "esrgan", g_tx, d_tx, perceptual_fn=perceptual_fn,
+        compute_dtype=jnp.float32, donate=False, spatial=spatial,
+    )
+    step_plain = make_gan_step(
+        g_model, d_model, "esrgan", g_tx, d_tx, perceptual_fn=perceptual_fn,
+        compute_dtype=jnp.float32, donate=False,
+    )
+
+    s1, m1 = step_sp(fresh_state(), batch)
+    s0, m0 = step_plain(fresh_state(), batch)
+    for key in ("train/loss_G", "train/loss_D", "train/perceptual_loss"):
+        v1, v0 = float(m1[key]), float(m0[key])
+        assert np.isfinite(v1), (key, v1)
+        # halo=6 < RF: approximate at shard seams, but each loss must track
+        assert abs(v1 - v0) <= 0.05 * max(abs(v0), 1e-3), (key, v1, v0)
+    # continued spatial steps keep both optimizers moving
+    s, _ = step_sp(s1, batch)
+    assert int(jax.device_get(s.step)) == 2
+    gdiff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.g_params, s.g_params
+    )
+    ddiff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.d_params, s.d_params
+    )
+    assert max(jax.tree_util.tree_leaves(gdiff)) > 0
+    assert max(jax.tree_util.tree_leaves(ddiff)) > 0
+
+
+def test_cli_spatial_gan_fit(tmp_path):
+    """Spatial-shard GAN fine-tune through the real CLI (the combination the
+    round-3/4 trainer guard rejected): 2-way spatial mesh, one fused G+D
+    step. Width-reduced ESRGAN D keeps the CPU-mesh compile in budget; the
+    production RFB D is covered by test_spatial_gan_step's architecture
+    notes and the reference parity suite."""
+    import glob
+
     from climsr_tpu.cli.train import main
     from climsr_tpu.data.synthetic import make_synthetic_dataset
 
     ds_root = make_synthetic_dataset(tmp_path / "ds", n_tiles_per_stage=(8, 2, 2))
-    with pytest.raises(ValueError, match="pixel-loss"):
-        main([
-            "experiment=esrgan_fine_tune_no_gan_pre_training",
-            f"datamodule.cfg.data_path={ds_root}",
-            "datamodule.cfg.europe_extent=false",
-            "training.batch_size=4",
-            "training.model_weights=null",
-            "generator={name: esrgan, nf: 8, nb: 1, gc: 4}",
-            "discriminator={name: esrgan, out_channels: 8}",
-            "task.cfg.perceptual_loss_factor=0.0",
-            "trainer.spatial_shard_size=2",
-            "trainer.max_epochs=1",
-            "trainer.limit_train_batches=1",
-            "print_config=false",
-            f"training.output_dir={tmp_path}",
-        ])
+    out = tmp_path / "out"
+    hp = main([
+        "experiment=esrgan_fine_tune_no_gan_pre_training",
+        f"datamodule.cfg.data_path={ds_root}",
+        "datamodule.cfg.europe_extent=false",
+        "training.batch_size=4",
+        "training.model_weights=null",
+        "generator={name: esrgan, nf: 8, nb: 1, gc: 4}",
+        "discriminator={name: esrgan, out_channels: 8}",
+        "task.cfg.perceptual_loss_factor=0.0",
+        "trainer.spatial_shard_size=2",
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "trainer.limit_val_batches=1",
+        "trainer.limit_test_batches=1",
+        "print_config=false",
+        f"training.output_dir={out}",
+    ])
+    assert hp is not None and np.isfinite(hp)
+    rows = open(glob.glob(f"{out}/outputs/runs/esrgan/*")[0] + "/metrics.csv").read()
+    assert "train/loss_G" in rows
