@@ -348,6 +348,10 @@ class InferenceConfig:
     # tiled path otherwise.
     spatial_shard: bool = False
     spatial_halo: int = 32  # LR rows of context exchanged per neighbor
+    # D2H transport encoding of the tiled path's packed land vector:
+    # "pack12" (12-bit fixed point, 25% fewer bytes than f16 at 3.7e-4
+    # worst-case abs error on the normalized output) or "f16".
+    readback: str = "pack12"
 
 
 @dataclass

@@ -74,6 +74,7 @@ class TiledSR:
         output_dtype=jnp.float32,
         post_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
         pack_indices: Optional[np.ndarray] = None,
+        pack12: bool = False,
     ):
         """``post_fn(out_hw_f32, post_args) -> out_hw``: optional device-side
         postprocessing of the blended full-resolution canvas inside the same
@@ -87,6 +88,13 @@ class TiledSR:
         land fraction is ~29%, so shipping only land pixels cuts device->host
         bytes 3.4x on the thin tunnel the e2e sweep is bound by; the caller
         scatters into a NaN canvas (np.full + flat[idx] = vals, ~ms).
+
+        ``pack12`` (requires ``pack_indices``): quantize the packed land
+        vector to 12-bit fixed point on device (ops/pack12.py) — uint32
+        words at 1.5 bytes/px, 25% fewer D2H bytes than f16 at a better
+        worst-case absolute error (3.7e-4 vs f16's 4.9e-4 ulp near |x|=1,
+        both on the normalized [-1, 1] output). The caller unpacks with
+        :func:`climsr_tpu.ops.pack12.unpack12`.
         """
         if overlap >= tile_size // 2:
             raise ValueError(f"overlap {overlap} must be < tile_size/2 ({tile_size // 2})")
@@ -102,6 +110,9 @@ class TiledSR:
         self._gen = generator_fn
         self._post_fn = post_fn
         self._pack_idx = None if pack_indices is None else np.asarray(pack_indices, np.int32)
+        if pack12 and self._pack_idx is None:
+            raise ValueError("pack12 packs the gathered land vector; it requires pack_indices")
+        self._pack12 = pack12
         hr_tile = tile_size * scale
         self._weights = _feather_window(hr_tile, overlap * scale)
         self._extras_dev: Optional[Tuple[jax.Array, ...]] = None
@@ -196,6 +207,7 @@ class TiledSR:
         blend = blend_grouped if grouped else blend_loop
 
         pack_idx = None if self._pack_idx is None else jnp.asarray(self._pack_idx)
+        use_pack12 = self._pack12
         post_fn = self._post_fn
 
         def run(frames: jax.Array, post_args: jax.Array, *rest: jax.Array) -> jax.Array:
@@ -251,6 +263,10 @@ class TiledSR:
                 out = jax.vmap(post_fn)(out, post_args)
             if pack_idx is not None:
                 out = out.reshape(k, -1)[:, pack_idx]
+                if use_pack12:
+                    from climsr_tpu.ops.pack12 import pack12 as pack12_fn
+
+                    return pack12_fn(out)
             return out.astype(self.output_dtype)
 
         return jax.jit(run)

@@ -77,6 +77,42 @@ class TorchConv(nn.Module):
         in_features = x.shape[-1]
         fan_in = ks[0] * ks[1] * (in_features // self.feature_group_count)
         kernel_init = self.kernel_init or torch_conv_kernel_init
+        if (
+            ks == (1, 1)
+            and self.strides == 1
+            and self.feature_group_count == 1
+            and all(p == (0, 0) for p in pad)
+        ):
+            # A 1x1 conv IS a channel matmul. Emitting it as a dot matters on
+            # TPU: the round-5 HLO study found XLA's conv emitters handling
+            # the flagship head's 1x1 (64->32 at [192,128,128]) at ~6 TF/s in
+            # the backward (EmitInputBatchInLanes), while the dot emitter
+            # runs the same contraction at full MXU rate both ways. Params
+            # stay at nn.Conv's paths (Conv_0/{kernel, bias}) — checkpoints
+            # are identical either way.
+            class _P(nn.Module):
+                features: int
+                use_bias: bool
+
+                @nn.compact
+                def __call__(self, cin: int):
+                    k = self.param("kernel", kernel_init, (1, 1, cin, self.features), jnp.float32)
+                    b = (
+                        self.param("bias", make_torch_bias_init(cin), (self.features,), jnp.float32)
+                        if self.use_bias
+                        else None
+                    )
+                    return k, b
+
+            kernel, bias = _P(self.features, self.use_bias, name="Conv_0")(in_features)
+            dt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
+            out = jax.lax.dot_general(
+                x.astype(dt), kernel[0, 0].astype(dt),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            )
+            if bias is not None:
+                out = out + bias.astype(dt)
+            return out
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

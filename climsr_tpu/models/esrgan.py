@@ -283,7 +283,11 @@ class ESRGANGenerator(nn.Module):
         # channels-to-sublanes layout transpose its input needs. So the HR
         # head stays on XLA's NHWC path.
         out = conv(self.out_channels, name="conv_last")(leaky_relu(conv(self.nf, name="HRconv")(fea)))
-        out = SRCNN(in_channels=3, out_channels=self.out_channels, dtype=self.dtype, name="srcnn")(
-            jnp.concatenate([out, elev.astype(out.dtype), mask.astype(out.dtype)], axis=-1)
-        )
+        # pallas_bwd: under use_pallas the fusion head's conv1 backward uses
+        # the Pallas dX-to-channel-0 kernel (ops/pallas/head_bwd.py) — exact
+        # for this concat, whose elev/mask channels are data inputs.
+        out = SRCNN(
+            in_channels=3, out_channels=self.out_channels, dtype=self.dtype,
+            pallas_bwd=self.use_pallas, name="srcnn",
+        )(jnp.concatenate([out, elev.astype(out.dtype), mask.astype(out.dtype)], axis=-1))
         return out

@@ -177,6 +177,60 @@ def run(
     rates_sorted = sorted(rates)
     steady = rates_sorted[len(rates_sorted) // 2]
     eff_mpix_s = steady * hr_h * hr_w / 1e6
+
+    # ---- tunnel-ceiling attribution ----------------------------------------
+    # The sweep is bound by the device tunnel: D2H does not overlap compute
+    # and does not multiplex (scripts/bench_tunnel.py), so the attainable
+    # rate is 1 / (t_compute+uplink + t_readback). Measure both legs in-run
+    # so the driver-recorded number carries its own explanation: a low
+    # months/s on a bad-weather window shows up as a low ceiling with a high
+    # achieved fraction, not as a regression.
+    ceiling = frac = float("nan")
+    try:
+        from climsr_tpu.inference.run import make_generator_fn
+        from climsr_tpu.inference.tiled import TiledSR
+        from climsr_tpu.ops.pack12 import packed_len
+
+        land_idx = np.flatnonzero(np.asarray(ds.mask_np).ravel()).astype(np.int32)
+        k = 8
+        gen_fn = make_generator_fn(model, params, "esrgan")
+        chunk = min(64, max(1, (8 * 8 * 64 * 64) // (128 * 128)))
+        tiler = TiledSR(gen_fn, scale=scale, tile_size=128, overlap=8, batch_size=chunk,
+                        output_dtype=jnp.float16, pack_indices=land_idx, pack12=True)
+        probe_frames = np.stack([ds[i]["lr"] for i in range(min(months, k))])
+        tiler.set_extras((ds.elevation_data, ds.mask_hr))
+        if probe_frames.shape[-1] > 1:
+            tiler.set_static_lr_channels(probe_frames[0, ..., 1:])
+            probe_frames = probe_frames[..., :1]
+        if probe_frames.shape[0] < k:
+            probe_frames = np.concatenate(
+                [probe_frames, np.repeat(probe_frames[-1:], k - probe_frames.shape[0], axis=0)]
+            )
+        jax.block_until_ready(tiler.device_call_many(probe_frames))  # compile (cache-hot)
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiler.device_call_many(probe_frames))
+        t_dev = time.perf_counter() - t0  # uplink + tiled SR + pack, no readback
+        fresh = jax.jit(
+            lambda key: jax.random.randint(
+                key, (k, packed_len(land_idx.size)), 0, 2**31 - 1, jnp.uint32
+            )
+        )(jax.random.PRNGKey(3))
+        jax.block_until_ready(fresh)
+        t0 = time.perf_counter()
+        np.asarray(fresh)
+        t_fetch = time.perf_counter() - t0
+        mb = fresh.size * 4 / 1e6
+        ceiling = k / (t_dev + t_fetch)
+        frac = steady / ceiling
+        print(
+            f"# tunnel ceiling: device leg {t_dev / k * 1e3:.0f} ms/month + readback "
+            f"{t_fetch / k * 1e3:.0f} ms/month ({mb / t_fetch:.1f} MB/s D2H) -> "
+            f"{ceiling:.2f} months/s attainable; steady state achieved {frac * 100:.0f}%",
+            file=out,
+        )
+    except Exception as e:  # pragma: no cover - diagnostics must never fail the bench
+        print(f"# tunnel ceiling probe failed: {e}", file=out)
+
     print(
         f"# e2e steady state: median {steady:.3f} months/s over {len(rates)} repeats "
         f"(spread {rates_sorted[0]:.3f}-{rates_sorted[-1]:.3f}) = {eff_mpix_s:.1f} Mpix-HR/s "
@@ -189,6 +243,8 @@ def run(
         "months_per_s_cold": cold,
         "months_per_s_warm_short": warm_short,
         "eff_mpix_hr_s": eff_mpix_s,
+        "months_per_s_ceiling": ceiling,
+        "ceiling_fraction": frac,
     }
 
 

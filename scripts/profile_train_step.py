@@ -29,11 +29,15 @@ from climsr_tpu.utils.profiling import advanced_profile_report
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="train_profile_")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else tempfile.mkdtemp(prefix="train_profile_")
+    use_pallas = "--xla-trunk" not in sys.argv  # round 4: the fused Pallas
+    # backward landed (ops/pallas/rdb.py) and the bench trains the Pallas
+    # trunk; profile that by default, --xla-trunk for the comparison trace
     bs, lr_hw = 192, 32
     model = create_generator(
-        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=False
-    )  # training resolves the Pallas trunk OFF (custom_vjp remat penalty)
+        "esrgan", nf=64, nb=11, gc=16, out_channels=1, dtype=jnp.bfloat16, use_pallas=use_pallas
+    )
     r = jax.random.PRNGKey(0)
     batch = {
         "lr": jax.random.normal(r, (bs, lr_hw, lr_hw, 3), jnp.bfloat16),

@@ -362,6 +362,58 @@ def test_tiled_sr_device_denorm_and_land_pack(rng):
         packed(frame)
 
 
+def test_pack12_roundtrip_error_bound(rng):
+    """12-bit transport codec (ops/pack12.py): exact word layout inverts and
+    the reconstruction error honors the documented bound on (-RANGE, RANGE);
+    values beyond the range clamp to the range edge."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.ops.pack12 import MAX_ABS_ERR, RANGE, pack12, packed_len, unpack12
+
+    vals = rng.uniform(-1.2, 1.2, size=(3, 1001)).astype(np.float32)
+    w = np.asarray(pack12(jnp.asarray(vals)))
+    assert w.shape == (3, packed_len(1001)) and w.dtype == np.uint32
+    got = unpack12(w, 1001)
+    assert np.max(np.abs(got - vals)) <= MAX_ABS_ERR + 1e-7
+
+    # overshoot clamps to the code range instead of wrapping
+    wide = np.array([[-5.0, -RANGE, 0.0, RANGE, 5.0, 0.1, -0.1, 0.25]], np.float32)
+    back = unpack12(np.asarray(pack12(jnp.asarray(wide))), 8)
+    np.testing.assert_allclose(
+        back[0], [-RANGE, -RANGE, 0.0, RANGE, RANGE, 0.1, -0.1, 0.25], atol=MAX_ABS_ERR + 1e-7
+    )
+
+
+def test_tiled_sr_pack12_readback_matches_f16_path(rng):
+    """TiledSR(pack12=True) returns uint32 words whose unpacking matches the
+    plain packed-land readback within the codec's error bound — the sweep's
+    default D2H transport (25% fewer bytes than f16 on the tunnel)."""
+    import jax.numpy as jnp
+
+    from climsr_tpu.inference.tiled import TiledSR
+    from climsr_tpu.ops.pack12 import MAX_ABS_ERR, packed_len, unpack12
+    from climsr_tpu.ops.resize import nearest_upsample
+
+    def fn(lr):
+        return nearest_upsample(lr[..., :1], 4) * 0.5
+
+    frames = rng.uniform(-1, 1, size=(3, 64, 96, 1)).astype(np.float32)
+    mask = rng.uniform(size=(256, 384)) > 0.7
+    land_idx = np.flatnonzero(mask.ravel()).astype(np.int32)
+
+    mk = lambda **kw: TiledSR(  # noqa: E731
+        fn, scale=4, tile_size=32, overlap=8, batch_size=4,
+        compute_dtype=jnp.float32, pack_indices=land_idx, **kw
+    )
+    words = np.asarray(mk(pack12=True).device_call_many(frames))
+    assert words.dtype == np.uint32 and words.shape == (3, packed_len(land_idx.size))
+    plain = np.asarray(mk().device_call_many(frames)).astype(np.float32)
+    np.testing.assert_allclose(unpack12(words, land_idx.size), plain, atol=MAX_ABS_ERR + 1e-3)
+
+    with pytest.raises(ValueError, match="pack_indices"):
+        TiledSR(fn, scale=4, tile_size=32, overlap=8, pack12=True)
+
+
 def test_tiled_sr_grouped_dispatch_matches_per_frame(rng):
     """device_call_many on a frame group == per-frame device_call, incl. the
     packed-readback + device-denorm path (the grouped transport fast path the

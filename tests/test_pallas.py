@@ -170,3 +170,68 @@ def test_esrgan_use_pallas_falls_back_on_ineligible_shapes(rng):
     out = m1.apply(v, x, e, mask)
     assert out.shape == (1, 20, 20, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fusion_conv1_pallas_bwd_matches_autodiff(rng):
+    """ops/pallas/head_bwd.py: the fusion head's conv1 custom_vjp — forward
+    and dW/db identical to stock autodiff; dX exact on channel 0 and ZERO on
+    the conditioning channels (the documented contract); ineligible
+    geometries fall back to the stock vjp for ALL channels."""
+    from climsr_tpu.ops.pallas.head_bwd import conv9_dx_eligible, fusion_conv1, _conv_ref
+
+    h, w = 8, 16  # h*w = 128: kernel-eligible in interpret mode
+    assert conv9_dx_eligible(h, w, (9, 9, 3, 8))
+    x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(9, 9, 3, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+
+    np.testing.assert_allclose(
+        np.asarray(fusion_conv1(x, k, b)), np.asarray(_conv_ref(x, k, b, 4)), atol=1e-6
+    )
+
+    def loss(fn, x, k, b):
+        return jnp.sum(jnp.tanh(fn(x, k, b)))
+
+    gx, gk, gb = jax.grad(lambda *a: loss(fusion_conv1, *a), argnums=(0, 1, 2))(x, k, b)
+    rx, rk, rb = jax.grad(lambda *a: loss(lambda x, k, b: _conv_ref(x, k, b, 4), *a),
+                          argnums=(0, 1, 2))(x, k, b)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx[..., 0]), np.asarray(rx[..., 0]), atol=1e-4)
+    assert float(jnp.max(jnp.abs(gx[..., 1:]))) == 0.0  # contract: dead channels
+
+    # ineligible geometry (h*w % 128 != 0): full exact fallback on every channel
+    x2 = jnp.asarray(rng.normal(size=(1, 7, 9, 3)).astype(np.float32))
+    g2 = jax.grad(lambda v: jnp.sum(jnp.tanh(fusion_conv1(v, k, b))))(x2)
+    r2 = jax.grad(lambda v: jnp.sum(jnp.tanh(_conv_ref(v, k, b, 4))))(x2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), atol=1e-5)
+
+
+def test_srcnn_pallas_bwd_full_equivalence(rng):
+    """SRCNN(pallas_bwd=True): identical param tree, forward, and parameter
+    gradients to the stock module (the flagship trainer's fusion head)."""
+    import jax.tree_util as jtu
+
+    from climsr_tpu.models.srcnn import SRCNN
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 3)).astype(np.float32))
+    p0 = SRCNN(in_channels=3, out_channels=1).init(key, x)["params"]
+    p1 = SRCNN(in_channels=3, out_channels=1, pallas_bwd=True).init(key, x)["params"]
+    assert [jtu.keystr(kp) for kp, _ in jtu.tree_leaves_with_path(p0)] == [
+        jtu.keystr(kp) for kp, _ in jtu.tree_leaves_with_path(p1)
+    ]
+    for a, bv in zip(jtu.tree_leaves(p0), jtu.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bv))
+
+    y0 = SRCNN(in_channels=3, out_channels=1).apply({"params": p0}, x)
+    y1 = SRCNN(in_channels=3, out_channels=1, pallas_bwd=True).apply({"params": p0}, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    def loss(params, m):
+        return jnp.mean(jnp.abs(m.apply({"params": params}, x)))
+
+    g0 = jax.grad(loss)(p0, SRCNN(in_channels=3, out_channels=1))
+    g1 = jax.grad(loss)(p0, SRCNN(in_channels=3, out_channels=1, pallas_bwd=True))
+    for a, bv in zip(jtu.tree_leaves(g0), jtu.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bv), atol=1e-6)
