@@ -70,6 +70,13 @@ BASELINE_GAN_SAMPLES_S = 250.0
 # compute, plus rasterio GeoTIFF write of the 1440x2880 HR frame (~0.1 s
 # observed for our own codec at this size) -> ~3 months/s
 BASELINE_GLOBE_MONTHS_S = 3.0
+# RCAN europe-geometry anchor: the reference's SHIPPED inference model
+# (conf/inference/inference_rcan.yaml:4) runs 113x113 LR -> 452x452 frames
+# fp32 batch=1 (climsr/inference/inference.py:48-70). Analytic: 32.4 MFLOP
+# per LR pixel (scripts/bench_rcan.py) at the same 35%-of-peak RTX-3090
+# fp32 utilization used for the ESRGAN anchor (12.46 TF/s) -> 0.385 MLRpx/s
+# = ~6.2 Mpix-HR/s.
+BASELINE_RCAN_MPIX_HR_S = 6.2
 
 
 def bench_train_step() -> None:
@@ -221,6 +228,32 @@ def bench_gan_step() -> None:
     )
 
 
+def bench_rcan() -> None:
+    """RCAN 113->452 europe-geometry inference — the reference's shipped
+    inference model (scripts/bench_rcan.py has the methodology + the
+    measured per-op attribution and the written Pallas-kernel decision)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_rcan", Path(__file__).parent / "scripts" / "bench_rcan.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mpix_s = mod.run(bs=16)
+    print(
+        json.dumps(
+            {
+                "metric": "rcan_europe_4x_sr_inference_throughput",
+                "value": round(mpix_s, 1),
+                "unit": "Mpix_HR/s/chip",
+                "vs_baseline": round(mpix_s / BASELINE_RCAN_MPIX_HR_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def bench_whole_globe() -> None:
     """Production path: CRU-TS-sized months through the FULL pipeline.
 
@@ -364,6 +397,8 @@ if __name__ == "__main__":
         main()
     elif "--globe-only" in sys.argv:
         bench_whole_globe()
+    elif "--rcan-only" in sys.argv:
+        bench_rcan()
     else:
         # Budgets: the axon tunnel's remote-compile latency varies by 3-5x
         # between runs (a 900s budget was observed to clip the train stage on
@@ -373,6 +408,7 @@ if __name__ == "__main__":
         _run_guarded("--train-only", 1800, "train-step")
         _run_guarded("--gan-only", 2400, "GAN-step")
         _run_guarded("--globe-only", 2100, "whole-globe e2e")
+        _run_guarded("--rcan-only", 1500, "RCAN-inference")
         ok = _run_guarded("--inference-only", 2400, "inference")
         if not ok:
             sys.exit(1)  # no headline JSON was printed — fail loudly, never hang

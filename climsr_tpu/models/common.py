@@ -214,7 +214,16 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
 
 
 def global_avg_pool(x: jax.Array) -> jax.Array:
-    """NHWC global average pool to (N, 1, 1, C) — AdaptiveAvgPool2d(1) analogue."""
+    """NHWC global average pool to (N, 1, 1, C) — AdaptiveAvgPool2d(1) analogue.
+
+    Negative result (measured, round 5): re-emitting this as a ones-vector
+    matmul changes nothing — XLA's algebraic simplifier rewrites
+    ``dot(ones/P, X)`` back into the same multiply+reduce, and standalone
+    both forms run at 20 us for RCAN's [16,113,113,64] pool. The 567 us
+    "reduce" ops in RCAN's in-model profile are fusions carrying the
+    neighboring conv epilogue, not the pool itself (scripts/bench_rcan.py
+    docstring has the full attribution).
+    """
     return jnp.mean(x, axis=(1, 2), keepdims=True)
 
 
