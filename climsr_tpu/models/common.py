@@ -64,6 +64,15 @@ class TorchConv(nn.Module):
     feature_group_count: int = 1
     kernel_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
+    # 1x1 convs as dot_general: None = auto (on for TPU, off for CPU). On
+    # TPU both forms run the MXU but the conv emitter handled the flagship
+    # head's 1x1 backward at ~6 TF/s (round-5 HLO study) while the dot
+    # emitter runs it at full rate. On CPU the dot's different f32 reduction
+    # order adds measurable drift against the torch twin-training oracles
+    # (the 30-step GAN twin's endpoint RMS moved 0.046 -> 0.054), so the
+    # parity-oracle backend keeps the conv form. Equivalence of the two
+    # forms is pinned by test_torchconv_1x1_dot_matches_conv.
+    prefer_dot_1x1: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -77,8 +86,14 @@ class TorchConv(nn.Module):
         in_features = x.shape[-1]
         fan_in = ks[0] * ks[1] * (in_features // self.feature_group_count)
         kernel_init = self.kernel_init or torch_conv_kernel_init
+        use_dot = (
+            self.prefer_dot_1x1
+            if self.prefer_dot_1x1 is not None
+            else jax.default_backend() != "cpu"
+        )
         if (
-            ks == (1, 1)
+            use_dot
+            and ks == (1, 1)
             and self.strides == 1
             and self.feature_group_count == 1
             and all(p == (0, 0) for p in pad)
