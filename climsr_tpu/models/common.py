@@ -64,15 +64,14 @@ class TorchConv(nn.Module):
     feature_group_count: int = 1
     kernel_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
-    # 1x1 convs as dot_general: None = auto (on for TPU, off for CPU). On
-    # TPU both forms run the MXU but the conv emitter handled the flagship
-    # head's 1x1 backward at ~6 TF/s (round-5 HLO study) while the dot
-    # emitter runs it at full rate. On CPU the dot's different f32 reduction
-    # order adds measurable drift against the torch twin-training oracles
-    # (the 30-step GAN twin's endpoint RMS moved 0.046 -> 0.054), so the
-    # parity-oracle backend keeps the conv form. Equivalence of the two
-    # forms is pinned by test_torchconv_1x1_dot_matches_conv.
-    prefer_dot_1x1: Optional[bool] = None
+    # Negative result (measured, round 5): re-emitting 1x1 convs as
+    # dot_general — motivated by the head conv2 backward's ~6 TF/s conv
+    # emitter — changed the flagship TRAIN step not at all (94.4 ms/step
+    # both ways once the Pallas fusion-head dX kernel landed) and REGRESSED
+    # inference 10% (15.7 -> 17.4 ms/iter at bs=128: the dot breaks the
+    # conv-conv fusion XLA builds through the head), while its different
+    # f32 reduction order also pushed the GAN twin-training endpoint past
+    # its drift bound on CPU. Keep nn.Conv for every kernel size.
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -86,48 +85,6 @@ class TorchConv(nn.Module):
         in_features = x.shape[-1]
         fan_in = ks[0] * ks[1] * (in_features // self.feature_group_count)
         kernel_init = self.kernel_init or torch_conv_kernel_init
-        use_dot = (
-            self.prefer_dot_1x1
-            if self.prefer_dot_1x1 is not None
-            else jax.default_backend() != "cpu"
-        )
-        if (
-            use_dot
-            and ks == (1, 1)
-            and self.strides == 1
-            and self.feature_group_count == 1
-            and all(p == (0, 0) for p in pad)
-        ):
-            # A 1x1 conv IS a channel matmul. Emitting it as a dot matters on
-            # TPU: the round-5 HLO study found XLA's conv emitters handling
-            # the flagship head's 1x1 (64->32 at [192,128,128]) at ~6 TF/s in
-            # the backward (EmitInputBatchInLanes), while the dot emitter
-            # runs the same contraction at full MXU rate both ways. Params
-            # stay at nn.Conv's paths (Conv_0/{kernel, bias}) — checkpoints
-            # are identical either way.
-            class _P(nn.Module):
-                features: int
-                use_bias: bool
-
-                @nn.compact
-                def __call__(self, cin: int):
-                    k = self.param("kernel", kernel_init, (1, 1, cin, self.features), jnp.float32)
-                    b = (
-                        self.param("bias", make_torch_bias_init(cin), (self.features,), jnp.float32)
-                        if self.use_bias
-                        else None
-                    )
-                    return k, b
-
-            kernel, bias = _P(self.features, self.use_bias, name="Conv_0")(in_features)
-            dt = self.dtype or jnp.result_type(x.dtype, jnp.float32)
-            out = jax.lax.dot_general(
-                x.astype(dt), kernel[0, 0].astype(dt),
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            )
-            if bias is not None:
-                out = out + bias.astype(dt)
-            return out
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

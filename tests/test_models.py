@@ -158,31 +158,3 @@ def test_esrgan_concat_free_matches_naive(rng):
     a = fast.apply({"params": params}, x, elev, mask)
     b = naive.apply({"params": params}, x, elev, mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-
-def test_torchconv_1x1_dot_matches_conv(rng):
-    """TorchConv's 1x1-as-dot emitter choice (prefer_dot_1x1, the TPU
-    default) is numerically interchangeable with the conv form: same param
-    tree, forward and gradients within f32 reassociation tolerance."""
-    import jax
-    import jax.numpy as jnp
-    import jax.tree_util as jtu
-
-    from climsr_tpu.models.common import TorchConv
-
-    x = jnp.asarray(rng.normal(size=(2, 9, 11, 16)).astype(np.float32))
-    key = jax.random.PRNGKey(3)
-    conv_m = TorchConv(8, kernel_size=1, padding=0, prefer_dot_1x1=False)
-    dot_m = TorchConv(8, kernel_size=1, padding=0, prefer_dot_1x1=True)
-    p = conv_m.init(key, x)["params"]
-    assert [jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(p)] == [
-        jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(dot_m.init(key, x)["params"])
-    ]
-    y_conv = conv_m.apply({"params": p}, x)
-    y_dot = dot_m.apply({"params": p}, x)
-    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv), atol=1e-5, rtol=1e-5)
-
-    g_conv = jax.grad(lambda q: jnp.sum(jnp.tanh(conv_m.apply({"params": q}, x))))(p)
-    g_dot = jax.grad(lambda q: jnp.sum(jnp.tanh(dot_m.apply({"params": q}, x))))(p)
-    for a, b in zip(jtu.tree_leaves(g_conv), jtu.tree_leaves(g_dot)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
