@@ -206,16 +206,26 @@ def run(
             probe_frames = np.concatenate(
                 [probe_frames, np.repeat(probe_frames[-1:], k - probe_frames.shape[0], axis=0)]
             )
-        jax.block_until_ready(tiler.device_call_many(probe_frames))  # compile (cache-hot)
+        # the axon transport's optimistic async makes block_until_ready
+        # unreliable (bench.py's timing note) — a host SCALAR pull is the
+        # only honest completion barrier, so each leg below completes via
+        # int(out[0, 0]) and the scalar round-trip itself is measured and
+        # subtracted from the device leg.
+        warm = tiler.device_call_many(probe_frames)
+        int(warm[0, 0])  # compile + drain (cache-hot)
         t0 = time.perf_counter()
-        jax.block_until_ready(tiler.device_call_many(probe_frames))
-        t_dev = time.perf_counter() - t0  # uplink + tiled SR + pack, no readback
+        int(warm[0, 1])
+        t_scalar = time.perf_counter() - t0  # pure scalar round-trip
+        t0 = time.perf_counter()
+        probe_out = tiler.device_call_many(probe_frames)
+        int(probe_out[0, 0])
+        t_dev = max(1e-3, time.perf_counter() - t0 - t_scalar)  # uplink + SR + pack
         fresh = jax.jit(
             lambda key: jax.random.randint(
                 key, (k, packed_len(land_idx.size)), 0, 2**31 - 1, jnp.uint32
             )
         )(jax.random.PRNGKey(3))
-        jax.block_until_ready(fresh)
+        int(fresh[0, 0])  # ensure computed before timing the full fetch
         t0 = time.perf_counter()
         np.asarray(fresh)
         t_fetch = time.perf_counter() - t0
